@@ -1,0 +1,49 @@
+"""MiMC permutation: trace generation + constraint definition.
+
+The canonical single-register AIR instance (SURVEY §3.1 `starks/mimc.py`):
+steps-1 rounds of x <- x^3 + c[i mod len(c)] (mod p). Trace generation is
+inherently sequential per proof (SURVEY §8 'hard part #4'); for single
+proofs it runs on host bigints (fast, overlappable with device work), and
+`trace_batch_device` provides the vectorized `lax.scan` path that
+amortizes across a proof batch.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import limbs as fl
+
+MODULUS = fl.MODULUS
+
+
+def mimc_forward(inp: int, steps: int, round_constants) -> int:
+    for i in range(steps - 1):
+        inp = (inp ** 3 + round_constants[i % len(round_constants)]) % MODULUS
+    return inp
+
+
+def trace_host(inp: int, steps: int, round_constants) -> list:
+    trace = [inp]
+    for i in range(steps - 1):
+        trace.append((trace[-1] ** 3
+                      + round_constants[i % len(round_constants)]) % MODULUS)
+    return trace
+
+
+@jax.jit
+def _scan_rounds(state, consts_tiled):
+    """state [B, 16]; consts_tiled [steps-1, 16] -> trace [steps, B, 16]."""
+    def body(x, c):
+        nxt = fl.add(fl.cube(x), c[None])
+        return nxt, x
+    last, ys = jax.lax.scan(body, state, consts_tiled)
+    return jnp.concatenate([ys, last[None]], axis=0)
+
+
+def trace_batch_device(inp_limbs, steps: int, const_limbs):
+    """Batched device trace: inp_limbs [B, 16], const_limbs [n_c, 16] ->
+    [steps, B, 16]. One lax.scan; VPU utilization comes from the batch."""
+    n_c = const_limbs.shape[0]
+    reps = (steps - 1 + n_c - 1) // n_c
+    tiled = jnp.tile(const_limbs, (reps, 1))[:steps - 1]
+    return _scan_rounds(inp_limbs, tiled)

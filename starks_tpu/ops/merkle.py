@@ -1,0 +1,113 @@
+"""Layer-parallel Merkle trees over evaluation tables.
+
+TPU-native replacement for the reference's sequential right-to-left flat
+array build (`starks/merkle_tree.py`, SURVEY.md §4.5): level k's 2^k
+hashes run as ONE batched blake2s call, log2(N) calls total. Leaf and
+node byte formats match §A.4 exactly: leaves are the raw 32-byte
+big-endian values (or 96-byte P||D||B composites), unhashed; parent =
+blake2s(left || right); branches are [leaf, sibling leaf, digest
+siblings...] bottom-up.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import blake2s as b2
+from . import limbs as fl
+from ..utils.conversions import digest_words_to_bytes, limbs_to_be_bytes
+
+
+@jax.jit
+def _leaf_words_32(leaves):
+    return b2.limbs_to_words(leaves)
+
+
+@jax.jit
+def _leaf_words_96(p, d, b):
+    return jnp.concatenate(
+        [b2.limbs_to_words(p), b2.limbs_to_words(d), b2.limbs_to_words(b)],
+        axis=-1)
+
+
+@jax.jit
+def _hash_level(words):
+    """[M, W] leaf/digest words -> [M/2, 8] parent digests."""
+    m, w = words.shape
+    paired = words.reshape(m // 2, 2 * w)
+    return b2.blake2s_words(paired, 2 * w * 4)
+
+
+class MerkleTree:
+    """Device-resident Merkle tree: leaf words [N, W] plus digest levels
+    [N/2, 8] ... [1, 8]. Root and branches are extracted on host."""
+
+    def __init__(self, leaf_words):
+        n = leaf_words.shape[0]
+        assert n & (n - 1) == 0
+        self.n = n
+        self.leaf_words = leaf_words
+        self.levels = []
+        level = _hash_level(leaf_words)
+        self.levels.append(level)
+        while level.shape[0] > 1:
+            level = _hash_level(level)
+            self.levels.append(level)
+        self._root_bytes = None
+
+    @classmethod
+    def from_values(cls, leaves):
+        """32-byte leaves from [N, 16] limb values."""
+        return cls(_leaf_words_32(leaves))
+
+    @classmethod
+    def from_pdb(cls, p, d, b):
+        """96-byte P||D||B composite leaves (the main STARK tree)."""
+        return cls(_leaf_words_96(p, d, b))
+
+    @property
+    def root(self) -> bytes:
+        if self._root_bytes is None:
+            self._root_bytes = digest_words_to_bytes(
+                np.asarray(self.levels[-1][0]))
+        return self._root_bytes
+
+    def leaf_bytes(self, indices) -> list:
+        """Raw leaf byte strings at the given indices."""
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        rows = np.asarray(jnp.take(self.leaf_words, idx, axis=0))
+        return [digest_words_to_bytes(r) for r in rows]
+
+    def branches(self, indices) -> list:
+        """Authentication branches in the reference format (SURVEY §4.5):
+        [leaf, sibling leaf, sibling digest per level...] bottom-up."""
+        indices = [int(i) for i in indices]
+        idx = np.asarray(indices, np.int64)
+        leaf_need = np.stack([idx, idx ^ 1], axis=1).reshape(-1)
+        leaf_rows = np.asarray(
+            jnp.take(self.leaf_words, jnp.asarray(leaf_need, np.int32), axis=0))
+
+        # At digest level L (0-based), the path node for leaf i is
+        # i >> (L+1); its sibling is that ^ 1. The root level emits none.
+        sib_rows_per_level = []
+        node = idx >> 1
+        for level in self.levels[:-1]:
+            sib_idx = node ^ 1
+            rows = np.asarray(jnp.take(level,
+                                       jnp.asarray(sib_idx, np.int32), axis=0))
+            sib_rows_per_level.append(rows)
+            node >>= 1
+
+        out = []
+        for k in range(len(indices)):
+            branch = [digest_words_to_bytes(leaf_rows[2 * k]),
+                      digest_words_to_bytes(leaf_rows[2 * k + 1])]
+            for rows in sib_rows_per_level:
+                branch.append(digest_words_to_bytes(rows[k]))
+            out.append(branch)
+        return out
+
+
+def merkelize_limbs(values) -> MerkleTree:
+    """Reference `merkelize` on [N, 16] limb values (32-byte leaves)."""
+    return MerkleTree.from_values(values)

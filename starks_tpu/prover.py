@@ -1,0 +1,234 @@
+"""MiMC STARK prover: device bulk stages + host transcript orchestration.
+
+TPU-native re-architecture of `starks/stark.py :: mk_mimc_proof`
+(SURVEY.md §4.1). The pipeline is identical in MATH and transcript bytes;
+the execution model is rebuilt for the hardware:
+
+  reference (scalar, sequential)      -> this prover (array, device)
+  ------------------------------------------------------------------
+  per-element bigint loops            -> fused limb-kernel maps [N,16]
+  recursive Python FFT                -> iterative batched NTT (ops/ntt)
+  full-domain multi_inv for Z_num     -> 8-periodic host inverses, tiled
+  full-domain powers list for x^steps -> 8-periodic tiling (G2^(8*steps)=1)
+  k1..k4 folded in four muls          -> two muls via 8-periodic combined
+                                         coefficients (k1+k2*x^steps), etc.
+  sequential Merkle build             -> layer-parallel blake2s (ops/merkle)
+  per-round quartic interpolation     -> closed-form fold4 kernel (ops/fri_fold)
+
+Fiat-Shamir challenges, query-index derivation, branch assembly and the
+proof object all run on host over device-computed roots, matching
+SURVEY §A bit-exactly; the proof verifies under the oracle verifier
+(tests/test_prover.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import limbs as fl
+from .ops import ntt as ntt_mod
+from .ops import kernels as kn
+from .ops.fri_fold import fold4
+from .ops.merkle import MerkleTree
+from .models import mimc as mimc_model
+from .transcript import (blake, pseudorandom_indices, challenge_int,
+                         special_x, is_a_power_of_2)
+from .utils import hostfield as hf
+from .utils.conversions import int_to_limbs, ints_to_limbs, limbs_to_ints
+
+MODULUS = fl.MODULUS
+EXTENSION_FACTOR = 8
+SPOT_CHECK_SECURITY_FACTOR = 80
+GENERATOR = 7
+FRI_QUERIES = 40
+FRI_BASE_CUTOFF = 16
+
+
+def _const(x: int):
+    return jnp.asarray(int_to_limbs(x % MODULUS))
+
+
+_TIMING_ENV = "STARKS_TPU_STAGE_TIMING"
+
+
+class _StageTimer:
+    """Per-stage wall-clock observability (SURVEY §6: stage timers around
+    host-side transcript steps). Enabled via STARKS_TPU_STAGE_TIMING=1;
+    results always collected on the instance for programmatic use."""
+
+    def __init__(self, name):
+        import os
+        import time
+        self._time = time
+        self.name = name
+        self.verbose = os.environ.get(_TIMING_ENV) == "1"
+        self.t0 = time.time()
+        self.last = self.t0
+        self.stages = {}
+
+    def mark(self, stage):
+        now = self._time.time()
+        self.stages[stage] = now - self.last
+        if self.verbose:
+            print(f"[{self.name}] {stage:<28s} +{now - self.last:.2f}s",
+                  flush=True)
+        self.last = now
+
+    def total(self):
+        return self._time.time() - self.t0
+
+
+LAST_PROOF_TIMINGS = {}
+
+
+def prove_low_degree(values, domain: ntt_mod.Domain, maxdeg_plus_1: int,
+                     exclude_multiples_of: int = 0):
+    """FRI proof over device values (SURVEY §4.3): commit, fold-by-4 at
+    the Fiat-Shamir point, answer 40 queries, recurse. Returns the
+    reference-shaped nested proof object."""
+    if maxdeg_plus_1 <= FRI_BASE_CUTOFF:
+        return [[v.to_bytes(32, 'big')
+                 for v in limbs_to_ints(np.asarray(values))]]
+
+    n = domain.n
+    quarter = n // 4
+    tree = MerkleTree.from_values(values)
+    sx = special_x(tree.root)
+
+    eta = _const(pow(domain.g, quarter, MODULUS))
+    inv4 = _const(hf.inv(4))
+    column = fold4(values, domain.powers, eta, _const(sx), inv4)
+
+    ctree = MerkleTree.from_values(column)
+    ys = pseudorandom_indices(ctree.root, quarter, FRI_QUERIES,
+                              exclude_multiples_of=exclude_multiples_of)
+    col_branches = ctree.branches(ys)
+    row_indices = [y + quarter * j for y in ys for j in range(4)]
+    row_branches = tree.branches(row_indices)
+    branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
+                for i in range(len(ys))]
+
+    sub_domain = ntt_mod.get_domain(quarter, pow(domain.g, 4, MODULUS))
+    return [[ctree.root, branches]] + prove_low_degree(
+        column, sub_domain, maxdeg_plus_1 // 4,
+        exclude_multiples_of=exclude_multiples_of)
+
+
+def mk_mimc_proof(inp: int, steps: int, round_constants):
+    """Full proof [m_root, l_root, main_branches, lc_branches, fri_proof]
+    (SURVEY §A.8), bit-compatible with the reference transcript."""
+    assert steps <= 2**32 // EXTENSION_FACTOR
+    assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
+    assert len(round_constants) < steps
+
+    precision = steps * EXTENSION_FACTOR
+    G2 = pow(GENERATOR, (MODULUS - 1) // precision, MODULUS)
+    skips = precision // steps
+    G1 = pow(G2, skips, MODULUS)
+    timer = _StageTimer(f"prove steps={steps}")
+
+    # 1. Trace (host bigints; sequential — SURVEY §8 hard part #4).
+    trace = mimc_model.trace_host(inp, steps, round_constants)
+    output = trace[-1]
+    timer.mark("trace")
+
+    # 2-3. LDE on device.
+    d1 = ntt_mod.get_domain(steps, G1)
+    d2 = ntt_mod.get_domain(precision, G2)
+    p_evals, _ = ntt_mod.lde(jnp.asarray(ints_to_limbs(trace)), d1, d2)
+    p_evals.block_until_ready()
+    timer.mark("lde")
+
+    # 4. Round-constant mini-polynomial extension (tiny; host NTT).
+    skips2 = steps // len(round_constants)
+    mini_poly = hf.host_ntt(list(round_constants), pow(G1, skips2, MODULUS),
+                            inverse=True)
+    k_ext = hf.host_ntt(mini_poly, pow(G2, skips2, MODULUS))
+
+    # 5-9 precomputation (all 8-periodic scalars on host).
+    last_step_position = pow(G2, (steps - 1) * skips, MODULUS)
+    h = pow(G2, steps, MODULUS)                  # order 8
+    z_num_inv8 = [hf.inv(pow(h, i, MODULUS) - 1) for i in range(8)]
+    i_poly = hf.line_through(1, inp % MODULUS, last_step_position,
+                             output % MODULUS)
+
+    # The first commitment needs D and B; the k-weights need that root;
+    # L needs the k-weights — so the pointwise work runs as two jitted
+    # kernels with the Merkle root derivation in between.
+    xs = d2.powers
+    d_evals, b_evals = _stage_db(
+        p_evals, xs,
+        jnp.asarray(ints_to_limbs(k_ext)),
+        jnp.asarray(ints_to_limbs(z_num_inv8)),
+        _const(last_step_position), _const(1),
+        jnp.asarray(ints_to_limbs([x % MODULUS for x in i_poly])),
+        precision // len(k_ext), precision // 8)
+    b_evals.block_until_ready()
+    timer.mark("constraints/quotient/boundary")
+
+    # 8. Commit #1: 96-byte P||D||B leaves.
+    mtree = MerkleTree.from_pdb(p_evals, d_evals, b_evals)
+    m_root = mtree.root
+    timer.mark("merkle #1 (P||D||B)")
+
+    # 9. Fiat-Shamir weights (unreduced ints; reduced entering kernels).
+    k1 = challenge_int(m_root, 1)
+    k2 = challenge_int(m_root, 2)
+    k3 = challenge_int(m_root, 3)
+    k4 = challenge_int(m_root, 4)
+    coef_p8 = [(k1 + k2 * pow(h, i, MODULUS)) % MODULUS for i in range(8)]
+    coef_b8 = [(k3 + k4 * pow(h, i, MODULUS)) % MODULUS for i in range(8)]
+    l_evals = _stage_l(p_evals, d_evals, b_evals,
+                       jnp.asarray(ints_to_limbs(coef_p8)),
+                       jnp.asarray(ints_to_limbs(coef_b8)),
+                       precision // 8)
+
+    # 10. Commit #2.
+    l_mtree = MerkleTree.from_values(l_evals)
+    l_root = l_mtree.root
+    timer.mark("linear combination + merkle #2")
+
+    # 11. Spot checks (branches gathered from device trees).
+    positions = pseudorandom_indices(l_root, precision,
+                                     SPOT_CHECK_SECURITY_FACTOR,
+                                     exclude_multiples_of=EXTENSION_FACTOR)
+    augmented = sum([[x, (x + skips) % precision] for x in positions], [])
+    main_branches = mtree.branches(augmented)
+    lc_branches = l_mtree.branches(positions)
+    timer.mark("spot-check branches")
+
+    # 12. FRI low-degree proof for L, deg < 2*steps.
+    fri_proof = prove_low_degree(l_evals, d2, steps * 2,
+                                 exclude_multiples_of=EXTENSION_FACTOR)
+    timer.mark("fri")
+    LAST_PROOF_TIMINGS.clear()
+    LAST_PROOF_TIMINGS.update(timer.stages)
+    LAST_PROOF_TIMINGS["total"] = timer.total()
+
+    return [m_root, l_root, main_branches, lc_branches, fri_proof]
+
+
+def _stage_db(p_evals, xs, k_ext, z_num_inv8, last_b, one_b, i_ab,
+              reps_k, reps_8):
+    """Pointwise stage (SURVEY §4.1 steps 5-7) as a sequence of small
+    jitted kernels (see ops/kernels.py for why not one fused graph)."""
+    k_tiled = jnp.tile(k_ext, (reps_k, 1))
+    zni_tiled = jnp.tile(z_num_inv8, (reps_8, 1))
+    p_shift = jnp.roll(p_evals, -EXTENSION_FACTOR, axis=0)
+    c = kn.sub_sub(p_shift, kn.cube(p_evals), k_tiled)
+    xs_minus_last = kn.sub(xs, last_b[None])
+    d = kn.mul(kn.mul(c, xs_minus_last), zni_tiled)
+    i_ev = kn.affine(i_ab[0], i_ab[1], xs)
+    z2 = kn.mul(kn.sub(xs, one_b[None]), xs_minus_last)
+    b = kn.mul(kn.sub(p_evals, i_ev), kn.batch_inv(z2))
+    return d, b
+
+
+def _stage_l(p_evals, d_evals, b_evals, coef_p8, coef_b8, reps_8):
+    """L = D + coef_p(x) * P + coef_b(x) * B (SURVEY §4.1 step 9)."""
+    coef_p = jnp.tile(coef_p8, (reps_8, 1))
+    coef_b = jnp.tile(coef_b8, (reps_8, 1))
+    return kn.add(d_evals, kn.mul_add(p_evals, coef_p,
+                                      kn.mul(b_evals, coef_b)))
