@@ -116,9 +116,26 @@ def prove_low_degree(values, domain: ntt_mod.Domain, maxdeg_plus_1: int,
         exclude_multiples_of=exclude_multiples_of)
 
 
-def mk_mimc_proof(inp: int, steps: int, round_constants):
+def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None):
     """Full proof [m_root, l_root, main_branches, lc_branches, fri_proof]
-    (SURVEY §A.8), bit-compatible with the reference transcript."""
+    (SURVEY §A.8), bit-compatible with the reference transcript.
+
+    With `mesh` (a Mesh carrying a "shard" axis), the evaluation-domain
+    arrays are contiguously sharded across chips and both LDE NTTs run as
+    sharded four-step transforms with all-to-all transposes over ICI
+    (SURVEY §8 Phase 7); pointwise stages, Merkle levels and FRI folds
+    ride GSPMD propagation of that sharding. Transcript bytes are
+    IDENTICAL to the single-chip path (tested on an 8-device CPU mesh).
+    """
+    trace = mimc_model.trace_host(inp, steps, round_constants)
+    return mk_mimc_proof_with_trace(inp, steps, round_constants, trace,
+                                    mesh=mesh)
+
+
+def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
+                             mesh=None):
+    """Proof from a precomputed trace (e.g. the batched device scan in
+    parallel/batch.py, amortizing the sequential-trace Amdahl limit)."""
     assert steps <= 2**32 // EXTENSION_FACTOR
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
     assert len(round_constants) < steps
@@ -129,15 +146,25 @@ def mk_mimc_proof(inp: int, steps: int, round_constants):
     G1 = pow(G2, skips, MODULUS)
     timer = _StageTimer(f"prove steps={steps}")
 
-    # 1. Trace (host bigints; sequential — SURVEY §8 hard part #4).
-    trace = mimc_model.trace_host(inp, steps, round_constants)
     output = trace[-1]
     timer.mark("trace")
 
     # 2-3. LDE on device.
     d1 = ntt_mod.get_domain(steps, G1)
     d2 = ntt_mod.get_domain(precision, G2)
-    p_evals, _ = ntt_mod.lde(jnp.asarray(ints_to_limbs(trace)), d1, d2)
+    if mesh is None:
+        p_evals, _ = ntt_mod.lde(jnp.asarray(ints_to_limbs(trace)), d1, d2)
+    else:
+        from .parallel import ntt4step
+        from .parallel.mesh import shard_rows
+        plan1 = ntt4step.get_plan(steps, G1, mesh)
+        plan2 = ntt4step.get_plan(precision, G2, mesh)
+        trace_dev = jax.device_put(jnp.asarray(ints_to_limbs(trace)),
+                                   shard_rows(mesh))
+        coeffs = ntt4step.fourstep_ntt(trace_dev, plan1, inverse=True)
+        padded = ntt_mod.zero_pad(coeffs, precision)
+        padded = jax.device_put(padded, shard_rows(mesh))
+        p_evals = ntt4step.fourstep_ntt(padded, plan2)
     p_evals.block_until_ready()
     timer.mark("lde")
 
