@@ -60,22 +60,26 @@ _DIAG_X = SIGMA[:, 8:16:2]
 _DIAG_Y = SIGMA[:, 9:16:2]
 
 
-def compress(h, m, t: int, final: bool):
+def compress(h, m, t, final: bool):
     """One blake2s compression, vectorized over leading dims.
 
     SIMD row formulation (the shape XLA compiles well and the VPU likes):
     the 4x4 state matrix lives as four [..., 4] rows; the column G pass
     runs all 4 columns at once and the diagonal pass is a lane rotation
-    away. h: [..., 8] state words; m: [..., 16] message words; t: total
-    bytes hashed through this block (static); final: last-block flag.
+    away. h: [..., 8] state words; m: [..., 16] message words; t: bytes
+    hashed through this block — a TRACED uint32 scalar, so one compiled
+    kernel serves every block position (multi-block compile cost was
+    super-linear otherwise); final: last-block flag (static).
     """
     batch = h.shape[:-1]
+    t = jnp.asarray(t, jnp.uint32)
     r0 = h[..., 0:4]
     r1 = h[..., 4:8]
     r2 = jnp.broadcast_to(jnp.asarray(IV[0:4]), batch + (4,))
-    r3c = IV[4:8] ^ np.array(
-        [t & 0xFFFFFFFF, t >> 32, 0xFFFFFFFF if final else 0, 0], np.uint32)
-    r3 = jnp.broadcast_to(jnp.asarray(r3c), batch + (4,))
+    fmask = np.uint32(0xFFFFFFFF if final else 0)
+    r3c = jnp.asarray(IV[4:8]) ^ jnp.stack(
+        [t, jnp.uint32(0), fmask, jnp.uint32(0)])
+    r3 = jnp.broadcast_to(r3c, batch + (4,))
 
     for r in range(10):
         r0, r1, r2, r3 = _g_vec(r0, r1, r2, r3,
@@ -100,18 +104,31 @@ def _h0(batch_shape):
     return h.at[..., 0].set(h[..., 0] ^ _PARAM0)
 
 
+import functools
+import jax
+
+_compress_jit = functools.partial(jax.jit, static_argnames=("final",))(compress)
+
+
 def blake2s_words(m, total_bytes: int):
     """blake2s-256 of messages given as [..., W] uint32 LE words, where
     W = ceil(total_bytes/4) rounded up to a 16-word multiple by the caller
-    (zero-padded). Returns [..., 8] digest words."""
+    (zero-padded). Returns [..., 8] digest words.
+
+    Python-loops the blocks; when called EAGERLY each block is one jitted
+    compress (the compile-friendly path for wide leaves); when traced
+    inside an outer jit the loop inlines as before — keep outer jits to
+    <= 3 blocks."""
     nwords = m.shape[-1]
     assert nwords % 16 == 0 and nwords * 4 >= total_bytes
+    assert total_bytes < 2**32
     nblocks = nwords // 16
     h = _h0(m.shape[:-1])
     for blk in range(nblocks):
         final = blk == nblocks - 1
         t = total_bytes if final else 64 * (blk + 1)
-        h = compress(h, m[..., blk * 16:(blk + 1) * 16], t, final)
+        h = _compress_jit(h, m[..., blk * 16:(blk + 1) * 16],
+                          np.uint32(t), final)
     return h
 
 

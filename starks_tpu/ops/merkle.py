@@ -30,9 +30,13 @@ def _leaf_words_96(p, d, b):
         axis=-1)
 
 
-@jax.jit
 def _hash_level(words):
-    """[M, W] leaf/digest words -> [M/2, 8] parent digests."""
+    """[M, W] leaf/digest words -> [M/2, 8] parent digests.
+
+    NOT wrapped in an outer jit: blake2s_words host-loops its blocks as
+    individually-jitted compress calls, which keeps compile time LINEAR
+    in leaf width (an outer jit would inline the chain and blow up for
+    wide multi-column AIR leaves)."""
     m, w = words.shape
     paired = words.reshape(m // 2, 2 * w)
     return b2.blake2s_words(paired, 2 * w * 4)
