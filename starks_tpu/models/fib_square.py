@@ -34,6 +34,22 @@ def fib_square_air() -> AIR:
                num_constraints=2, constants=[], boundary_points=_boundaries)
 
 
+def fib_square_air_declarative() -> AIR:
+    """Same AIR, but with the transition relation written as multivariate
+    polynomials and lowered via `algebra.compile_transition` — the
+    declarative path mirroring the reference's multivariate-constraint
+    representation (`starks/multivariate_polynomial.py`, SURVEY §3.1)."""
+    from ..algebra import (IntegersModP, multivariates_over,
+                           compile_transition)
+    F = IntegersModP(MODULUS)
+    MV = multivariates_over(F, 4)               # a, b, a', b'
+    a, b, a_n, b_n = MV.variables()
+    constraints = [a_n - b, b_n - (a ** 2 + b ** 2)]
+    transition = compile_transition(constraints, width=2, num_constants=0)
+    return AIR(width=2, step_fn=_step, transition=transition,
+               num_constraints=2, constants=[], boundary_points=_boundaries)
+
+
 def fib_square_output(a0: int, b0: int, steps: int) -> int:
     a, b = a0 % MODULUS, b0 % MODULUS
     for _ in range(steps - 1):

@@ -87,3 +87,19 @@ class TestMimcAsAir:
                       boundary_points=air.boundary_points)
         with pytest.raises(AssertionError):
             verify_air(bad_air, STEPS, proof)
+
+
+class TestDeclarativeAIR:
+    """Multivariate-polynomial constraint DSL (starks_tpu.algebra) lowered
+    through compile_transition: must produce byte-identical proofs to the
+    hand-written ops-namespace transition."""
+
+    def test_declarative_matches_imperative(self, fib_proof):
+        from starks_tpu.models.fib_square import fib_square_air_declarative
+        air, proof = fib_proof
+        d_air = fib_square_air_declarative()
+        d_proof = prove_air(d_air, [1, 1], STEPS)
+        assert d_proof[0] == proof[0] and d_proof[1] == proof[1]
+        assert verify_air(d_air, STEPS, d_proof)
+        # Cross-verify: same transcript, so each verifies the other.
+        assert verify_air(air, STEPS, d_proof)
