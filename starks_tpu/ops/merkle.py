@@ -70,6 +70,11 @@ class MerkleTree:
         return cls(_leaf_words_96(p, d, b))
 
     @property
+    def root_words(self):
+        """Device [8] digest words of the root — no host transfer."""
+        return self.levels[-1][0]
+
+    @property
     def root(self) -> bytes:
         if self._root_bytes is None:
             self._root_bytes = digest_words_to_bytes(
@@ -82,34 +87,52 @@ class MerkleTree:
         rows = np.asarray(jnp.take(self.leaf_words, idx, axis=0))
         return [digest_words_to_bytes(r) for r in rows]
 
-    def branches(self, indices) -> list:
-        """Authentication branches in the reference format (SURVEY §4.5):
-        [leaf, sibling leaf, sibling digest per level...] bottom-up."""
-        indices = [int(i) for i in indices]
-        idx = np.asarray(indices, np.int64)
-        leaf_need = np.stack([idx, idx ^ 1], axis=1).reshape(-1)
-        leaf_rows = np.asarray(
-            jnp.take(self.leaf_words, jnp.asarray(leaf_need, np.int32), axis=0))
-
-        # At digest level L (0-based), the path node for leaf i is
-        # i >> (L+1); its sibling is that ^ 1. The root level emits none.
-        sib_rows_per_level = []
+    def branch_bundle(self, indices):
+        """All authentication data for `indices` as ONE device array
+        [K, 2W + 8*(levels-1)] of uint32 words (layout: leaf, sibling
+        leaf, digest sibling per level bottom-up, root level omitted).
+        Indices may be a device int32 array — the transcript never has
+        to leave the device; decode on host with `bundle_to_branches`."""
+        idx = jnp.asarray(indices, jnp.int32)
+        parts = [jnp.take(self.leaf_words, idx, axis=0),
+                 jnp.take(self.leaf_words, idx ^ 1, axis=0)]
         node = idx >> 1
         for level in self.levels[:-1]:
-            sib_idx = node ^ 1
-            rows = np.asarray(jnp.take(level,
-                                       jnp.asarray(sib_idx, np.int32), axis=0))
-            sib_rows_per_level.append(rows)
-            node >>= 1
+            parts.append(jnp.take(level, node ^ 1, axis=0))
+            node = node >> 1
+        return jnp.concatenate(parts, axis=-1)
 
+    @property
+    def leaf_width_words(self) -> int:
+        return int(self.leaf_words.shape[-1])
+
+    def bundle_width_words(self) -> int:
+        return 2 * self.leaf_width_words + 8 * (len(self.levels) - 1)
+
+    @staticmethod
+    def bundle_to_branches(bundle_np, leaf_width_words: int) -> list:
+        """Host decode of a fetched branch bundle into reference-format
+        branches [leaf, sibling leaf, digest siblings...]."""
+        k, total = bundle_np.shape
+        w = leaf_width_words
+        n_levels = (total - 2 * w) // 8
         out = []
-        for k in range(len(indices)):
-            branch = [digest_words_to_bytes(leaf_rows[2 * k]),
-                      digest_words_to_bytes(leaf_rows[2 * k + 1])]
-            for rows in sib_rows_per_level:
-                branch.append(digest_words_to_bytes(rows[k]))
+        for row in bundle_np:
+            branch = [digest_words_to_bytes(row[:w]),
+                      digest_words_to_bytes(row[w:2 * w])]
+            for L in range(n_levels):
+                branch.append(digest_words_to_bytes(
+                    row[2 * w + 8 * L: 2 * w + 8 * (L + 1)]))
             out.append(branch)
         return out
+
+    def branches(self, indices) -> list:
+        """Authentication branches in the reference format (SURVEY §4.5):
+        [leaf, sibling leaf, sibling digest per level...] bottom-up.
+        One fused device gather + ONE device->host transfer."""
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        bundle = np.asarray(self.branch_bundle(idx))
+        return self.bundle_to_branches(bundle, self.leaf_width_words)
 
 
 def merkelize_limbs(values) -> MerkleTree:

@@ -27,23 +27,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops import blake2s as b2
 from .ops import limbs as fl
 from .ops import ntt as ntt_mod
 from .ops import kernels as kn
+from .ops import transcript_dev as td
 from .ops.fri_fold import fold4
 from .ops.merkle import MerkleTree
 from .models import mimc as mimc_model
 from .transcript import (blake, pseudorandom_indices, challenge_int,
                          special_x, is_a_power_of_2)
 from .utils import hostfield as hf
-from .utils.conversions import int_to_limbs, ints_to_limbs, limbs_to_ints
+from .utils.conversions import (digest_words_to_bytes, int_to_limbs,
+                                ints_to_limbs, limbs_to_ints)
+
+from .config import StarkConfig, REFERENCE
 
 MODULUS = fl.MODULUS
-EXTENSION_FACTOR = 8
-SPOT_CHECK_SECURITY_FACTOR = 80
-GENERATOR = 7
-FRI_QUERIES = 40
-FRI_BASE_CUTOFF = 16
+# Module-level views of the reference configuration (single source of
+# truth: starks_tpu.config). Pass a custom StarkConfig to the entry
+# points to override per call.
+EXTENSION_FACTOR = REFERENCE.extension_factor
+SPOT_CHECK_SECURITY_FACTOR = REFERENCE.spot_checks
+GENERATOR = REFERENCE.generator
+FRI_QUERIES = REFERENCE.fri_queries
+FRI_BASE_CUTOFF = REFERENCE.fri_base_cutoff
 
 
 def _const(x: int):
@@ -83,40 +91,98 @@ class _StageTimer:
 LAST_PROOF_TIMINGS = {}
 
 
+def _fri_device(values, domain: ntt_mod.Domain, maxdeg_plus_1: int,
+                exclude_multiples_of: int, config: StarkConfig,
+                tree: MerkleTree = None):
+    """FRI commit/query phase entirely on device (SURVEY §4.3 math):
+    fold-by-4 at the device-derived Fiat-Shamir point, per-round roots
+    and branch bundles stay on device. Returns (rounds, base_words) with
+    rounds = [(root_words, col_bundle, row_bundle, col_W, row_W), ...].
+    `tree` reuses an existing commitment over `values` (the reference
+    merkelizes L twice — here the L-tree is shared, same transcript)."""
+    rounds = []
+    while maxdeg_plus_1 > config.fri_base_cutoff:
+        n = domain.n
+        quarter = n // 4
+        if tree is None:
+            tree = MerkleTree.from_values(values)
+        sx = td.special_x_limbs(tree.root_words)
+        eta = _const(pow(domain.g, quarter, MODULUS))
+        inv4 = _const(hf.inv(4))
+        column = fold4(values, domain.powers, eta, sx, inv4)
+
+        ctree = MerkleTree.from_values(column)
+        ys = td.pseudorandom_indices_dev(
+            ctree.root_words, quarter, config.fri_queries,
+            exclude_multiples_of=exclude_multiples_of)
+        col_bundle = ctree.branch_bundle(ys)
+        row_idx = (ys[:, None]
+                   + quarter * jnp.arange(4, dtype=jnp.int32)[None]
+                   ).reshape(-1)
+        row_bundle = tree.branch_bundle(row_idx)
+        rounds.append((ctree.root_words, col_bundle, row_bundle,
+                       ctree.leaf_width_words, tree.leaf_width_words))
+
+        values, tree = column, ctree
+        domain = ntt_mod.get_domain(quarter, pow(domain.g, 4, MODULUS))
+        maxdeg_plus_1 //= 4
+    return rounds, b2.limbs_to_words(values)
+
+
+def _fetch_all(arrays):
+    """ONE device->host transfer for a list of device arrays: flatten,
+    concatenate, fetch, re-split. The tunneled runtime pays ~25 ms
+    latency per transfer regardless of size (measured), so everything a
+    proof sends to the host crosses in a single bulk copy."""
+    flat = [a.reshape(-1) for a in arrays]
+    buf = np.asarray(jnp.concatenate(flat)) if flat else np.zeros(0,
+                                                                  np.uint32)
+    out, off = [], 0
+    for a in arrays:
+        size = int(np.prod(a.shape))
+        out.append(buf[off:off + size].reshape(a.shape))
+        off += size
+    return out
+
+
+def _assemble_fri(rounds_fetched, base_words_np):
+    """Host decode of fetched FRI round data into the reference-shaped
+    nested proof (SURVEY §A.8)."""
+    proof = []
+    for root_w, col_bundle, row_bundle, col_W, row_W in rounds_fetched:
+        col_branches = MerkleTree.bundle_to_branches(col_bundle, col_W)
+        row_branches = MerkleTree.bundle_to_branches(row_bundle, row_W)
+        branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
+                    for i in range(len(col_branches))]
+        proof.append([digest_words_to_bytes(root_w), branches])
+    proof.append([digest_words_to_bytes(r) for r in base_words_np])
+    return proof
+
+
 def prove_low_degree(values, domain: ntt_mod.Domain, maxdeg_plus_1: int,
-                     exclude_multiples_of: int = 0):
-    """FRI proof over device values (SURVEY §4.3): commit, fold-by-4 at
-    the Fiat-Shamir point, answer 40 queries, recurse. Returns the
-    reference-shaped nested proof object."""
-    if maxdeg_plus_1 <= FRI_BASE_CUTOFF:
+                     exclude_multiples_of: int = 0,
+                     config: StarkConfig = REFERENCE,
+                     tree: MerkleTree = None):
+    """FRI proof over device values: device-resident transcript, one
+    device->host transfer. Returns the reference-shaped proof object."""
+    if maxdeg_plus_1 <= config.fri_base_cutoff:
         return [[v.to_bytes(32, 'big')
                  for v in limbs_to_ints(np.asarray(values))]]
-
-    n = domain.n
-    quarter = n // 4
-    tree = MerkleTree.from_values(values)
-    sx = special_x(tree.root)
-
-    eta = _const(pow(domain.g, quarter, MODULUS))
-    inv4 = _const(hf.inv(4))
-    column = fold4(values, domain.powers, eta, _const(sx), inv4)
-
-    ctree = MerkleTree.from_values(column)
-    ys = pseudorandom_indices(ctree.root, quarter, FRI_QUERIES,
-                              exclude_multiples_of=exclude_multiples_of)
-    col_branches = ctree.branches(ys)
-    row_indices = [y + quarter * j for y in ys for j in range(4)]
-    row_branches = tree.branches(row_indices)
-    branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
-                for i in range(len(ys))]
-
-    sub_domain = ntt_mod.get_domain(quarter, pow(domain.g, 4, MODULUS))
-    return [[ctree.root, branches]] + prove_low_degree(
-        column, sub_domain, maxdeg_plus_1 // 4,
-        exclude_multiples_of=exclude_multiples_of)
+    rounds, base_words = _fri_device(values, domain, maxdeg_plus_1,
+                                     exclude_multiples_of, config, tree)
+    arrays = []
+    for root_w, col_bundle, row_bundle, _, _ in rounds:
+        arrays += [root_w, col_bundle, row_bundle]
+    arrays.append(base_words)
+    fetched = _fetch_all(arrays)
+    rounds_fetched = [
+        (fetched[3 * i], fetched[3 * i + 1], fetched[3 * i + 2],
+         rounds[i][3], rounds[i][4]) for i in range(len(rounds))]
+    return _assemble_fri(rounds_fetched, fetched[-1])
 
 
-def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None):
+def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
+                  config: StarkConfig = REFERENCE):
     """Full proof [m_root, l_root, main_branches, lc_branches, fri_proof]
     (SURVEY §A.8), bit-compatible with the reference transcript.
 
@@ -129,19 +195,20 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None):
     """
     trace = mimc_model.trace_host(inp, steps, round_constants)
     return mk_mimc_proof_with_trace(inp, steps, round_constants, trace,
-                                    mesh=mesh)
+                                    mesh=mesh, config=config)
 
 
 def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
-                             mesh=None):
+                             mesh=None, config: StarkConfig = REFERENCE):
     """Proof from a precomputed trace (e.g. the batched device scan in
     parallel/batch.py, amortizing the sequential-trace Amdahl limit)."""
-    assert steps <= 2**32 // EXTENSION_FACTOR
+    ext = config.extension_factor
+    assert steps <= 2**32 // ext
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
     assert len(round_constants) < steps
 
-    precision = steps * EXTENSION_FACTOR
-    G2 = pow(GENERATOR, (MODULUS - 1) // precision, MODULUS)
+    precision = steps * ext
+    G2 = pow(config.generator, (MODULUS - 1) // precision, MODULUS)
     skips = precision // steps
     G1 = pow(G2, skips, MODULUS)
     timer = _StageTimer(f"prove steps={steps}")
@@ -176,8 +243,8 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
 
     # 5-9 precomputation (all 8-periodic scalars on host).
     last_step_position = pow(G2, (steps - 1) * skips, MODULUS)
-    h = pow(G2, steps, MODULUS)                  # order 8
-    z_num_inv8 = [hf.inv(pow(h, i, MODULUS) - 1) for i in range(8)]
+    h = pow(G2, steps, MODULUS)                  # order = ext
+    z_num_inv8 = [hf.inv(pow(h, i, MODULUS) - 1) for i in range(ext)]
     i_poly = hf.line_through(1, inp % MODULUS, last_step_position,
                              output % MODULUS)
 
@@ -191,45 +258,69 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
         jnp.asarray(ints_to_limbs(z_num_inv8)),
         _const(last_step_position), _const(1),
         jnp.asarray(ints_to_limbs([x % MODULUS for x in i_poly])),
-        precision // len(k_ext), precision // 8)
+        precision // len(k_ext), precision // ext, skips)
     b_evals.block_until_ready()
     timer.mark("constraints/quotient/boundary")
 
     # 8. Commit #1: 96-byte P||D||B leaves.
     mtree = MerkleTree.from_pdb(p_evals, d_evals, b_evals)
-    m_root = mtree.root
     timer.mark("merkle #1 (P||D||B)")
 
-    # 9. Fiat-Shamir weights (unreduced ints; reduced entering kernels).
-    k1 = challenge_int(m_root, 1)
-    k2 = challenge_int(m_root, 2)
-    k3 = challenge_int(m_root, 3)
-    k4 = challenge_int(m_root, 4)
-    coef_p8 = [(k1 + k2 * pow(h, i, MODULUS)) % MODULUS for i in range(8)]
-    coef_b8 = [(k3 + k4 * pow(h, i, MODULUS)) % MODULUS for i in range(8)]
-    l_evals = _stage_l(p_evals, d_evals, b_evals,
-                       jnp.asarray(ints_to_limbs(coef_p8)),
-                       jnp.asarray(ints_to_limbs(coef_b8)),
-                       precision // 8)
+    # 9. Fiat-Shamir weights — derived ON DEVICE from the root words
+    # (ops/transcript_dev.py): no host round-trip between commitments.
+    k1L = td.challenge_limbs(mtree.root_words, 1)
+    k2L = td.challenge_limbs(mtree.root_words, 2)
+    k3L = td.challenge_limbs(mtree.root_words, 3)
+    k4L = td.challenge_limbs(mtree.root_words, 4)
+    h_pows = jnp.asarray(ints_to_limbs(
+        [pow(h, i, MODULUS) for i in range(ext)]))
+    coef_p8 = td.lincomb_coeffs(k1L, k2L, h_pows)
+    coef_b8 = td.lincomb_coeffs(k3L, k4L, h_pows)
+    l_evals = _stage_l(p_evals, d_evals, b_evals, coef_p8, coef_b8,
+                       precision // ext)
 
     # 10. Commit #2.
     l_mtree = MerkleTree.from_values(l_evals)
-    l_root = l_mtree.root
     timer.mark("linear combination + merkle #2")
 
-    # 11. Spot checks (branches gathered from device trees).
-    positions = pseudorandom_indices(l_root, precision,
-                                     SPOT_CHECK_SECURITY_FACTOR,
-                                     exclude_multiples_of=EXTENSION_FACTOR)
-    augmented = sum([[x, (x + skips) % precision] for x in positions], [])
-    main_branches = mtree.branches(augmented)
-    lc_branches = l_mtree.branches(positions)
-    timer.mark("spot-check branches")
+    # 11. Spot-check positions + branch bundles, all on device.
+    positions_d = td.pseudorandom_indices_dev(
+        l_mtree.root_words, precision, config.spot_checks,
+        exclude_multiples_of=ext)
+    augmented_d = jnp.stack(
+        [positions_d, (positions_d + skips) % precision], axis=1
+    ).reshape(-1)
+    main_bundle = mtree.branch_bundle(augmented_d)
+    lc_bundle = l_mtree.branch_bundle(positions_d)
+    timer.mark("spot-check bundles")
 
-    # 12. FRI low-degree proof for L, deg < 2*steps.
-    fri_proof = prove_low_degree(l_evals, d2, steps * 2,
-                                 exclude_multiples_of=EXTENSION_FACTOR)
-    timer.mark("fri")
+    # 12. FRI low-degree proof for L, deg < 2*steps (device; reuses the
+    # L-tree commitment — the reference merkelizes L twice, same bytes).
+    fri_rounds, fri_base = _fri_device(l_evals, d2, steps * 2, ext, config,
+                                       tree=l_mtree)
+    timer.mark("fri (device)")
+
+    # 13. ONE bulk device->host transfer for the whole proof, then host
+    # byte assembly.
+    arrays = [mtree.root_words, l_mtree.root_words, main_bundle, lc_bundle]
+    for root_w, col_bundle, row_bundle, _, _ in fri_rounds:
+        arrays += [root_w, col_bundle, row_bundle]
+    arrays.append(fri_base)
+    fetched = _fetch_all(arrays)
+    timer.mark("proof transfer")
+
+    m_root = digest_words_to_bytes(fetched[0])
+    l_root = digest_words_to_bytes(fetched[1])
+    main_branches = MerkleTree.bundle_to_branches(
+        fetched[2], mtree.leaf_width_words)
+    lc_branches = MerkleTree.bundle_to_branches(
+        fetched[3], l_mtree.leaf_width_words)
+    rounds_fetched = [
+        (fetched[4 + 3 * i], fetched[5 + 3 * i], fetched[6 + 3 * i],
+         fri_rounds[i][3], fri_rounds[i][4])
+        for i in range(len(fri_rounds))]
+    fri_proof = _assemble_fri(rounds_fetched, fetched[-1])
+    timer.mark("proof assembly")
     LAST_PROOF_TIMINGS.clear()
     LAST_PROOF_TIMINGS.update(timer.stages)
     LAST_PROOF_TIMINGS["total"] = timer.total()
@@ -238,12 +329,12 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
 
 
 def _stage_db(p_evals, xs, k_ext, z_num_inv8, last_b, one_b, i_ab,
-              reps_k, reps_8):
+              reps_k, reps_8, skips=REFERENCE.extension_factor):
     """Pointwise stage (SURVEY §4.1 steps 5-7) as a sequence of small
     jitted kernels (see ops/kernels.py for why not one fused graph)."""
     k_tiled = jnp.tile(k_ext, (reps_k, 1))
     zni_tiled = jnp.tile(z_num_inv8, (reps_8, 1))
-    p_shift = jnp.roll(p_evals, -EXTENSION_FACTOR, axis=0)
+    p_shift = jnp.roll(p_evals, -skips, axis=0)
     c = kn.sub_sub(p_shift, kn.cube(p_evals), k_tiled)
     xs_minus_last = kn.sub(xs, last_b[None])
     d = kn.mul(kn.mul(c, xs_minus_last), zni_tiled)

@@ -14,12 +14,14 @@ from .transcript import (blake, pseudorandom_indices, challenge_int,
                          special_x, is_a_power_of_2)
 from .utils import hostfield as hf
 
-MODULUS = 2**256 - 351 * 2**32 + 1
-EXTENSION_FACTOR = 8
-SPOT_CHECK_SECURITY_FACTOR = 80
-GENERATOR = 7
-FRI_QUERIES = 40
-FRI_BASE_CUTOFF = 16
+from .config import StarkConfig, REFERENCE
+
+MODULUS = REFERENCE.modulus
+EXTENSION_FACTOR = REFERENCE.extension_factor
+SPOT_CHECK_SECURITY_FACTOR = REFERENCE.spot_checks
+GENERATOR = REFERENCE.generator
+FRI_QUERIES = REFERENCE.fri_queries
+FRI_BASE_CUTOFF = REFERENCE.fri_base_cutoff
 
 
 class VerificationError(AssertionError):
@@ -55,8 +57,9 @@ def _merkle_root_of(leaves) -> bytes:
 
 def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
                             maxdeg_plus_1: int,
-                            exclude_multiples_of: int = 0) -> bool:
-    m = MODULUS
+                            exclude_multiples_of: int = 0,
+                            config: StarkConfig = REFERENCE) -> bool:
+    m = config.modulus
     roudeg = 1
     testval = root_of_unity
     while testval != 1:
@@ -71,7 +74,7 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
     for component in proof[:-1]:
         root2, branches = component
         sx = special_x(merkle_root)
-        ys = pseudorandom_indices(root2, roudeg // 4, FRI_QUERIES,
+        ys = pseudorandom_indices(root2, roudeg // 4, config.fri_queries,
                                   exclude_multiples_of=exclude_multiples_of)
         for i, y in enumerate(ys):
             x1 = pow(root_of_unity, y, m)
@@ -90,7 +93,7 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
 
     # Final round: direct degree check of the sent values.
     data = [int.from_bytes(x, 'big') for x in proof[-1]]
-    _check(maxdeg_plus_1 <= FRI_BASE_CUTOFF, "bad FRI termination")
+    _check(maxdeg_plus_1 <= config.fri_base_cutoff, "bad FRI termination")
     _check(_merkle_root_of(data) == merkle_root, "final FRI root mismatch")
     powers = [pow(root_of_unity, i, m) for i in range(len(data))]
     if exclude_multiples_of:
@@ -106,25 +109,26 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
 
 
 def verify_mimc_proof(inp: int, steps: int, round_constants, output: int,
-                      proof) -> bool:
+                      proof, config: StarkConfig = REFERENCE) -> bool:
     m_root, l_root, main_branches, lc_branches, fri_proof = proof
-    m = MODULUS
-    _check(steps <= 2**32 // EXTENSION_FACTOR, "steps too large")
+    m = config.modulus
+    ext = config.extension_factor
+    _check(steps <= 2**32 // ext, "steps too large")
     _check(is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants)),
            "steps/constants not powers of 2")
     _check(len(round_constants) < steps, "too many constants")
 
-    precision = steps * EXTENSION_FACTOR
-    G2 = pow(GENERATOR, (m - 1) // precision, m)
+    precision = steps * ext
+    G2 = pow(config.generator, (m - 1) // precision, m)
     skips = precision // steps
     skips2 = steps // len(round_constants)
 
     mini_poly = hf.host_ntt(list(round_constants),
-                            pow(G2, EXTENSION_FACTOR * skips2, m),
+                            pow(G2, ext * skips2, m),
                             inverse=True)
 
     _check(verify_low_degree_proof(l_root, G2, fri_proof, steps * 2,
-                                   exclude_multiples_of=EXTENSION_FACTOR),
+                                   exclude_multiples_of=ext, config=config),
            "FRI failed")
 
     k1 = challenge_int(m_root, 1)
@@ -132,8 +136,8 @@ def verify_mimc_proof(inp: int, steps: int, round_constants, output: int,
     k3 = challenge_int(m_root, 3)
     k4 = challenge_int(m_root, 4)
     positions = pseudorandom_indices(l_root, precision,
-                                     SPOT_CHECK_SECURITY_FACTOR,
-                                     exclude_multiples_of=EXTENSION_FACTOR)
+                                     config.spot_checks,
+                                     exclude_multiples_of=ext)
     last = pow(G2, (steps - 1) * skips, m)
 
     i_poly = hf.line_through(1, inp % m, last, output % m)
