@@ -30,6 +30,18 @@ def trace_host(inp: int, steps: int, round_constants) -> list:
     return trace
 
 
+def trace_limbs(inp: int, steps: int, round_constants):
+    """Trace as a host [steps, 16] uint32 limb array: native C++ runtime
+    when available (utils/native.py, ~10x the Python bigint loop — the
+    prover's sequential Amdahl term), else the bigint path."""
+    from ..utils import native
+    from ..utils.conversions import ints_to_limbs
+    t = native.mimc_trace(inp, steps, round_constants)
+    if t is not None:
+        return t.astype('uint32')
+    return ints_to_limbs(trace_host(inp, steps, round_constants))
+
+
 @jax.jit
 def _scan_rounds(state, consts_tiled):
     """state [B, 16]; consts_tiled [steps-1, 16] -> trace [steps, B, 16]."""

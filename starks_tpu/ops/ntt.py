@@ -55,13 +55,18 @@ class Domain:
         trip, which dwarfs the arithmetic for a table build.
         """
         if self._powers is None:
-            from ..utils.conversions import ints_to_limbs
-            vals = [1] * self.n
-            acc = 1
-            for i in range(1, self.n):
-                acc = acc * self.g % fl.MODULUS
-                vals[i] = acc
-            self._powers = jnp.asarray(ints_to_limbs(vals))
+            from ..utils import native
+            table = native.power_table(self.g, self.n)
+            if table is not None:
+                self._powers = jnp.asarray(table.astype(np.uint32))
+            else:
+                from ..utils.conversions import ints_to_limbs
+                vals = [1] * self.n
+                acc = 1
+                for i in range(1, self.n):
+                    acc = acc * self.g % fl.MODULUS
+                    vals[i] = acc
+                self._powers = jnp.asarray(ints_to_limbs(vals))
         return self._powers
 
     @property

@@ -51,9 +51,8 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
     proofs = []
     for i, inp in enumerate(local_inputs):
         if traces is not None:
-            trace_ints = limbs_to_ints(traces[i])
             proofs.append(prover.mk_mimc_proof_with_trace(
-                inp, steps, round_constants, trace_ints, mesh=mesh))
+                inp, steps, round_constants, traces[i], mesh=mesh))
         else:
             proofs.append(prover.mk_mimc_proof(inp, steps, round_constants,
                                                mesh=mesh))

@@ -193,7 +193,7 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
     ride GSPMD propagation of that sharding. Transcript bytes are
     IDENTICAL to the single-chip path (tested on an 8-device CPU mesh).
     """
-    trace = mimc_model.trace_host(inp, steps, round_constants)
+    trace = mimc_model.trace_limbs(inp, steps, round_constants)
     return mk_mimc_proof_with_trace(inp, steps, round_constants, trace,
                                     mesh=mesh, config=config)
 
@@ -201,7 +201,10 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
 def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
                              mesh=None, config: StarkConfig = REFERENCE):
     """Proof from a precomputed trace (e.g. the batched device scan in
-    parallel/batch.py, amortizing the sequential-trace Amdahl limit)."""
+    parallel/batch.py, amortizing the sequential-trace Amdahl limit).
+    `trace` is a list of ints or a [steps, 16] uint32 limb array."""
+    if isinstance(trace, list):
+        trace = ints_to_limbs(trace)
     ext = config.extension_factor
     assert steps <= 2**32 // ext
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
@@ -213,21 +216,21 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
     G1 = pow(G2, skips, MODULUS)
     timer = _StageTimer(f"prove steps={steps}")
 
-    output = trace[-1]
+    from .utils.conversions import limbs_to_int
+    output = limbs_to_int(np.asarray(trace)[-1])
     timer.mark("trace")
 
     # 2-3. LDE on device.
     d1 = ntt_mod.get_domain(steps, G1)
     d2 = ntt_mod.get_domain(precision, G2)
     if mesh is None:
-        p_evals, _ = ntt_mod.lde(jnp.asarray(ints_to_limbs(trace)), d1, d2)
+        p_evals, _ = ntt_mod.lde(jnp.asarray(trace), d1, d2)
     else:
         from .parallel import ntt4step
         from .parallel.mesh import shard_rows
         plan1 = ntt4step.get_plan(steps, G1, mesh)
         plan2 = ntt4step.get_plan(precision, G2, mesh)
-        trace_dev = jax.device_put(jnp.asarray(ints_to_limbs(trace)),
-                                   shard_rows(mesh))
+        trace_dev = jax.device_put(jnp.asarray(trace), shard_rows(mesh))
         coeffs = ntt4step.fourstep_ntt(trace_dev, plan1, inverse=True)
         padded = ntt_mod.zero_pad(coeffs, precision)
         padded = jax.device_put(padded, shard_rows(mesh))
