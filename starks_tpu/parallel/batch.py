@@ -29,9 +29,20 @@ def local_slice(n_items: int, process_index: int = None,
 
 
 def prove_batch(inputs, steps: int, round_constants, mesh=None,
-                use_device_traces: bool = True):
+                use_device_traces: bool = True, store=None,
+                max_retries: int = 1, verify: bool = False):
     """Prove a batch of MiMC claims; returns a list of proof objects for
-    THIS host's slice of the batch (all of it in single-process runs)."""
+    THIS host's slice of the batch (all of it in single-process runs).
+
+    Failure handling (SURVEY §6): proofs are stateless + deterministic,
+    so recovery = re-run of a shard. `max_retries` re-runs a claim whose
+    prove raised (transient device/tunnel faults) or — with
+    `verify=True` — whose proof failed self-verification. `store` (a
+    utils.artifacts.ProofStore) makes the run resumable: claims already
+    proved are loaded instead of re-proved, and each fresh proof is
+    persisted as soon as it exists, so a crashed batch run restarts where
+    it died.
+    """
     sl = local_slice(len(inputs))
     local_inputs = list(inputs)[sl]
     if not local_inputs:
@@ -48,14 +59,51 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
         # [steps, B, 16] -> per-proof host lists fed to the prover.
         traces = np.asarray(jnp.transpose(dev_traces, (1, 0, 2)))
 
+    def prove_one(i, inp):
+        if traces is not None:
+            return prover.mk_mimc_proof_with_trace(
+                inp, steps, round_constants, traces[i], mesh=mesh)
+        return prover.mk_mimc_proof(inp, steps, round_constants, mesh=mesh)
+
+    def check_one(inp, proof):
+        if not verify:
+            return True
+        from .. import verifier
+        from ..models.mimc import mimc_forward
+        output = mimc_forward(inp, steps, round_constants)
+        try:
+            return verifier.verify_mimc_proof(inp, steps, round_constants,
+                                              output, proof)
+        except AssertionError:
+            return False
+
     proofs = []
     for i, inp in enumerate(local_inputs):
-        if traces is not None:
-            proofs.append(prover.mk_mimc_proof_with_trace(
-                inp, steps, round_constants, traces[i], mesh=mesh))
-        else:
-            proofs.append(prover.mk_mimc_proof(inp, steps, round_constants,
-                                               mesh=mesh))
+        key = None
+        if store is not None:
+            from ..utils.artifacts import claim_key
+            key = claim_key(inp, steps, round_constants)
+            if store.has_proof(key):
+                proofs.append(store.get_proof(key))
+                continue
+        proof, last_err = None, None
+        for _ in range(max_retries + 1):
+            try:
+                cand = prove_one(i, inp)
+            except Exception as e:           # transient device fault
+                last_err = e
+                continue
+            if check_one(inp, cand):
+                proof = cand
+                break
+            last_err = AssertionError("proof failed self-verification")
+        if proof is None:
+            raise RuntimeError(
+                f"claim {i} (inp={inp}) failed after {max_retries + 1} "
+                f"attempts") from last_err
+        if store is not None:
+            store.put_proof(key, proof, {"inp": inp, "steps": steps})
+        proofs.append(proof)
     return proofs
 
 

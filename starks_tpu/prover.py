@@ -64,7 +64,13 @@ _TIMING_ENV = "STARKS_TPU_STAGE_TIMING"
 class _StageTimer:
     """Per-stage wall-clock observability (SURVEY §6: stage timers around
     host-side transcript steps). Enabled via STARKS_TPU_STAGE_TIMING=1;
-    results always collected on the instance for programmatic use."""
+    results always collected on the instance for programmatic use.
+
+    JAX dispatch is async, so by default a stage's time lands wherever
+    the host first waits (usually the final proof transfer).
+    STARKS_TPU_STAGE_SYNC=1 makes `mark(stage, *arrays)` block on the
+    stage's output arrays first, attributing device time to the stage
+    that incurred it (profiling only — syncing serializes the pipeline)."""
 
     def __init__(self, name):
         import os
@@ -72,11 +78,14 @@ class _StageTimer:
         self._time = time
         self.name = name
         self.verbose = os.environ.get(_TIMING_ENV) == "1"
+        self.sync = os.environ.get("STARKS_TPU_STAGE_SYNC") == "1"
         self.t0 = time.time()
         self.last = self.t0
         self.stages = {}
 
-    def mark(self, stage):
+    def mark(self, stage, *arrays):
+        if self.sync and arrays:
+            jax.block_until_ready(arrays)
         now = self._time.time()
         self.stages[stage] = now - self.last
         if self.verbose:
@@ -267,7 +276,7 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
 
     # 8. Commit #1: 96-byte P||D||B leaves.
     mtree = MerkleTree.from_pdb(p_evals, d_evals, b_evals)
-    timer.mark("merkle #1 (P||D||B)")
+    timer.mark("merkle #1 (P||D||B)", mtree.root_words)
 
     # 9. Fiat-Shamir weights — derived ON DEVICE from the root words
     # (ops/transcript_dev.py): no host round-trip between commitments.
@@ -284,7 +293,7 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
 
     # 10. Commit #2.
     l_mtree = MerkleTree.from_values(l_evals)
-    timer.mark("linear combination + merkle #2")
+    timer.mark("linear combination + merkle #2", l_mtree.root_words)
 
     # 11. Spot-check positions + branch bundles, all on device.
     positions_d = td.pseudorandom_indices_dev(
@@ -295,13 +304,13 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
     ).reshape(-1)
     main_bundle = mtree.branch_bundle(augmented_d)
     lc_bundle = l_mtree.branch_bundle(positions_d)
-    timer.mark("spot-check bundles")
+    timer.mark("spot-check bundles", main_bundle, lc_bundle)
 
     # 12. FRI low-degree proof for L, deg < 2*steps (device; reuses the
     # L-tree commitment — the reference merkelizes L twice, same bytes).
     fri_rounds, fri_base = _fri_device(l_evals, d2, steps * 2, ext, config,
                                        tree=l_mtree)
-    timer.mark("fri (device)")
+    timer.mark("fri (device)", fri_base, *[r[0] for r in fri_rounds])
 
     # 13. ONE bulk device->host transfer for the whole proof, then host
     # byte assembly.
