@@ -1,0 +1,426 @@
+"""Single-dispatch prover building blocks: scan-structured NTT, Merkle,
+and FRI that trace to SMALL XLA graphs.
+
+Round-1 profiling on the tunneled TPU runtime showed the prover was
+bound by HOST costs, not compute: ~2.3 ms per dispatch x ~200 dispatches
+plus a ~25 ms floor per device->host transfer, while a fused 16-stage
+NTT at 2^16 executes in 0.11 ms. This module therefore restructures
+every hot stage (SURVEY.md §4.1) as `jax.lax.scan` loops with
+fixed-shape bodies, so the ENTIRE post-trace proof is ONE jitted
+dispatch and ONE bulk transfer:
+
+- NTT: constant-geometry (Pease) schedules. `ntt_dif` is the
+  decimation-in-frequency network (natural order in, bit-reversed out):
+  every stage is u = a + b, v = (a - b) * tw over the array halves with
+  outputs interleaved — identical data flow per stage, so the whole
+  transform is one scan over a stacked twiddle table. `ntt_dit` is its
+  transpose (bit-reversed in, natural out). Composing iNTT(DIF) ->
+  zero-interleave -> NTT(DIT) gives the reference's LDE
+  (`starks/fft.py` composition, SURVEY §4.4) with ZERO gather ops:
+  zero-padding in the coefficient domain is a pure stride-8 reshape in
+  bit-reversed layout (rev_{log 8n}(c) = 8 * rev_{log n}(c) for c < n).
+- Merkle: leaf level at true shape, then one scan over levels on a
+  fixed-size buffer (valid prefix halves per step; the garbage tail is
+  deterministic and never read). `tree_bundle` gathers branch bundles
+  on device.
+- FRI: one scan over rounds on fixed [N]-shaped buffers with per-round
+  static parameters passed as scanned arrays; bundles are emitted at
+  the maximum width and sliced to each round's true width on host.
+
+The math is bit-identical to the staged kernels in ops/ntt.py /
+ops/merkle.py / ops/fri_fold.py (cross-tested), which remain for the
+sharded multi-chip path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import blake2s as b2
+from . import limbs as fl
+from . import transcript_dev as td
+
+NL = fl.NUM_LIMBS
+
+
+# ---------------------------------------------------------------------------
+# Twiddle plans
+# ---------------------------------------------------------------------------
+
+def _power_table_np(g: int, n: int) -> np.ndarray:
+    """[n, 16] uint32 host power table g^0..g^(n-1)."""
+    from ..utils import native
+    table = native.power_table(g, n)
+    if table is not None:
+        return table.astype(np.uint32)
+    vals = np.zeros((n, NL), np.uint32)
+    acc = 1
+    for i in range(n):
+        vals[i] = np.frombuffer(acc.to_bytes(32, 'little'),
+                                dtype='<u2').astype(np.uint32)
+        acc = acc * g % fl.MODULUS
+    return vals
+
+
+def _stacked_twiddles(table: np.ndarray) -> np.ndarray:
+    """TW[t][j] = table[j & ~(2^t - 1)] for the Pease DIF/DIT schedule."""
+    n = table.shape[0]
+    logn = n.bit_length() - 1
+    j = np.arange(n // 2)
+    return np.stack([table[j & ~((1 << t) - 1)] for t in range(logn)])
+
+
+class FusedPlan:
+    """Cached device tables for one (steps, generator) configuration."""
+
+    _cache = {}
+
+    def __init__(self, steps: int, precision: int, G1: int, G2: int,
+                 fri_rounds: int):
+        self.steps = steps
+        self.precision = precision
+        fwd_small = _power_table_np(G1, steps)
+        fwd_big = _power_table_np(G2, precision)
+        inv_small = np.concatenate([fwd_small[:1], fwd_small[:0:-1]], axis=0)
+
+        # iNTT over the trace domain (DIF, inverse twiddles) and forward
+        # NTT over the evaluation domain (DIT, forward twiddles).
+        self.tw_inv_small = jnp.asarray(_stacked_twiddles(inv_small))
+        self.tw_fwd_big = jnp.asarray(_stacked_twiddles(fwd_big))
+        self.n_inv_small = jnp.asarray(_int_limbs(
+            pow(steps, fl.MODULUS - 2, fl.MODULUS)))
+        self.xs_big = jnp.asarray(fwd_big)          # [N,16] powers of G2
+
+        # Per-FRI-round u-tables: g_r^{-i} for g_r = G2^(4^r), i < N/4.
+        inv_big = np.concatenate([fwd_big[:1], fwd_big[:0:-1]], axis=0)
+        q = precision // 4
+        tabs = []
+        for r in range(fri_rounds):
+            idx = (np.arange(q, dtype=np.int64) * (4 ** r)) % precision
+            tabs.append(inv_big[idx])
+        self.fri_inv_pows = jnp.asarray(np.stack(tabs))  # [R, N/4, 16]
+
+    @classmethod
+    def get(cls, steps: int, precision: int, G1: int, G2: int,
+            fri_rounds: int) -> "FusedPlan":
+        key = (steps, precision, G1, G2, fri_rounds)
+        if key not in cls._cache:
+            cls._cache[key] = cls(steps, precision, G1, G2, fri_rounds)
+        return cls._cache[key]
+
+
+def _int_limbs(x: int) -> np.ndarray:
+    return np.frombuffer((x % fl.MODULUS).to_bytes(32, 'little'),
+                         dtype='<u2').astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Scan-structured NTT
+# ---------------------------------------------------------------------------
+
+def ntt_dif(values, tw_stack):
+    """Constant-geometry DIF: [n,16] natural order -> bit-reversed order.
+    One scan over the [logn, n/2, 16] twiddle stack."""
+    n = values.shape[0]
+
+    def step(x, twt):
+        a, b = x[:n // 2], x[n // 2:]
+        u = fl.add(a, b)
+        v = fl.mul(fl.sub(a, b), twt)
+        return jnp.stack([u, v], axis=1).reshape(n, NL), None
+
+    x, _ = jax.lax.scan(step, values, tw_stack)
+    return x
+
+
+def ntt_dit(values, tw_stack):
+    """Transpose network: [n,16] bit-reversed order -> natural order.
+    Applies the DIF stages' transposes in reverse twiddle order."""
+    n = values.shape[0]
+
+    def step(x, twt):
+        pairs = x.reshape(n // 2, 2, NL)
+        a, b = pairs[:, 0], pairs[:, 1]
+        wv = fl.mul(twt, b)
+        return jnp.concatenate([fl.add(a, wv), fl.sub(a, wv)], axis=0), None
+
+    x, _ = jax.lax.scan(step, values, tw_stack[::-1])
+    return x
+
+
+def lde_fused(trace, tw_inv_small, n_inv_small, tw_fwd_big):
+    """Low-degree extension, gather-free: iNTT (DIF, bitrev out) ->
+    stride-8 zero interleave (= zero-pad in the coefficient domain,
+    reindexed to the big domain's bit-reversed layout: for c < n,
+    rev_{log 8n}(c) = 8 * rev_{log n}(c)) -> forward NTT (DIT, natural
+    out). Matches `fft(fft(trace, G1, inv=True), G2)` bit-for-bit
+    (tests/test_fused.py)."""
+    steps = trace.shape[0]
+    precision = 2 * tw_fwd_big.shape[1]
+    ext = precision // steps
+    coeffs_brev = ntt_dif(trace, tw_inv_small)
+    coeffs_brev = fl.mul(coeffs_brev, n_inv_small[None])
+    padded = jnp.zeros((steps, ext, NL), jnp.uint32)
+    padded = padded.at[:, 0, :].set(coeffs_brev)
+    return ntt_dit(padded.reshape(precision, NL), tw_fwd_big)
+
+
+# ---------------------------------------------------------------------------
+# Scan-structured Merkle tree
+# ---------------------------------------------------------------------------
+
+def tree_build(leaf_words):
+    """Device Merkle tree as (lvl1, rest, root_words).
+
+    leaf_words: [M, W] uint32 words (W=8 for 32-byte leaves, 24 for the
+    96-byte P||D||B main-tree leaves; leaves unhashed per SURVEY §A.4).
+    lvl1: [M/2, 8] parent digests of leaf pairs (true shape).
+    rest: [log2(M)-1, M/4, 8] — rest[k] holds level k+2 in its first
+    M/2^(k+2) entries (the tail is deterministic garbage: hashes of
+    stale data, never read).
+    root_words: [8] = rest[-1][0].
+    """
+    m, w = leaf_words.shape
+    lvl1 = b2.blake2s_words(leaf_words.reshape(m // 2, 2 * w), 2 * w * 4)
+    logm = m.bit_length() - 1
+
+    def step(cur, _):
+        digs = b2.blake2s_words(cur.reshape(m // 4, 16), 64)
+        nxt = jnp.concatenate([digs, digs], axis=0)
+        return nxt, digs
+
+    # Dummy xs: xs-driven scans compile fast on this backend, while
+    # length-only loops lower through the pathological while-loop path.
+    dummy = jnp.zeros((logm - 1, 1), jnp.uint32)
+    _, rest = jax.lax.scan(step, lvl1, dummy)
+    return lvl1, rest, rest[logm - 2][0]
+
+
+def tree_bundle(leaf_words, lvl1, rest, idx, n_levels: int):
+    """[K, 2W + 8*(n_levels-1)] branch bundles (leaf, sibling leaf,
+    digest sibling per level bottom-up, root omitted) gathered on
+    device; decode with MerkleTree.bundle_to_branches. `n_levels` is
+    static (= log2 of the VALID tree size; for padded buffers pass the
+    max and slice on host)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    parts = [jnp.take(leaf_words, idx, axis=0),
+             jnp.take(leaf_words, idx ^ 1, axis=0)]
+    node = idx >> 1
+    if n_levels >= 2:
+        parts.append(jnp.take(lvl1, node ^ 1, axis=0))
+        node = node >> 1
+    for k in range(n_levels - 2):
+        parts.append(jnp.take(rest[k], node ^ 1, axis=0))
+        node = node >> 1
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Traced-modulus Fiat-Shamir indices (for the FRI round scan)
+# ---------------------------------------------------------------------------
+
+def pseudorandom_indices_traced(root_words, modulus, count: int,
+                                exclude_multiples_of: int = 0):
+    """`transcript.pseudorandom_indices` with a TRACED modulus (the FRI
+    round scan's domain size shrinks per iteration). modulus must be a
+    multiple of exclude_multiples_of (true for all FRI rounds: sizes are
+    powers of two >= 4*cutoff). Returns int32 [count]."""
+    n_digests = (4 * count + 31) // 32
+    chunks = [root_words]
+    last = root_words
+    for _ in range(n_digests - 1):
+        pad = jnp.zeros(last.shape[:-1] + (8,), jnp.uint32)
+        last = b2.blake2s_words(jnp.concatenate([last, pad], axis=-1), 32)
+        chunks.append(last)
+    words = jnp.concatenate(chunks, axis=-1)[..., :count]
+    be = td._byteswap32(words)
+    m = jnp.asarray(modulus, jnp.uint32)
+    if exclude_multiples_of == 0:
+        return (be % m).astype(jnp.int32)
+    ex = exclude_multiples_of
+    real_modulus = (m // jnp.uint32(ex)) * jnp.uint32(ex - 1)
+    o = be % real_modulus
+    return (o + 1 + o // jnp.uint32(ex - 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# FRI: one scan over rounds
+# ---------------------------------------------------------------------------
+
+def fri_round_schedule(precision: int, maxdeg_plus_1: int, cutoff: int):
+    """Static per-round sizes: [(n_r, q_r), ...] while maxdeg+1 > cutoff."""
+    out = []
+    n = precision
+    while maxdeg_plus_1 > cutoff:
+        out.append((n, n // 4))
+        n //= 4
+        maxdeg_plus_1 //= 4
+    return out
+
+
+def fri_commit_scan(l_evals, l_words, l_lvl1, l_rest, l_root,
+                    fri_inv_pows, schedule, eta_limbs, inv4_limbs,
+                    queries: int, exclude: int):
+    """FRI commit + query phases as ONE scan over rounds.
+
+    Carry: (values [N,16], tree leaf words [N,8], lvl1 [N/2,8],
+    rest [L1, N/4, 8], root [8]) — round 0's tree IS the L-tree (the
+    reference merkelizes L again inside FRI; same bytes, SURVEY §4.3).
+    Emits per round: column root [8], column bundle [q, Wc_max], row
+    bundle [4q, Wr_max] — sliced to true widths on host.
+
+    Returns (col_roots [R,8], col_bundles, row_bundles, final_values).
+    """
+    n = l_evals.shape[0]
+    nq = n // 4
+    logn = n.bit_length() - 1
+    L1 = logn - 1                      # rest levels in the [N] tree
+    rounds = len(schedule)
+
+    qs = jnp.asarray([q for (_, q) in schedule], jnp.int32)
+    # root of the column tree lives at level log2(q) of the [N/4]-buffer
+    # tree; rest index = log2(q) - 2.
+    root_idx = jnp.asarray([q.bit_length() - 1 - 2 for (_, q) in schedule],
+                           jnp.int32)
+
+    leaf_pad = jnp.zeros((n - nq, 8), jnp.uint32)
+    lvl1_pad = jnp.zeros((n // 2 - n // 8, 8), jnp.uint32)
+
+    def body(carry, xs):
+        values, tleaf, tlvl1, trest, troot = carry
+        q, ridx, inv_pows_r = xs
+
+        # --- fold at special_x = int(root) mod p (SURVEY §4.3) --------
+        sx = td.special_x_limbs(troot)
+        rows = [jax.lax.dynamic_slice(values, (j * q, 0), (nq, NL))
+                for j in range(4)]
+        y0, y1, y2, y3 = rows
+        e0 = fl.add(y0, y2)
+        d02 = fl.sub(y0, y2)
+        e1 = fl.add(y1, y3)
+        d13 = fl.sub(y1, y3)
+        a0 = fl.add(e0, e1)
+        a2 = fl.sub(e0, e1)
+        h = fl.mul(d13, eta_limbs[None])
+        a1 = fl.sub(d02, h)
+        a3 = fl.add(d02, h)
+        u = fl.mul(jnp.broadcast_to(sx[None], (nq, NL)), inv_pows_r)
+        horner = fl.add(fl.mul(u, a3), a2)
+        horner = fl.add(fl.mul(u, horner), a1)
+        horner = fl.add(fl.mul(u, horner), a0)
+        column = fl.mul(horner, inv4_limbs[None])          # [N/4,16]
+
+        # --- column tree + Fiat-Shamir queries ------------------------
+        col_words = b2.limbs_to_words(column)              # [N/4,8]
+        c_lvl1, c_rest, _ = tree_build(col_words)
+        col_root = jax.lax.dynamic_index_in_dim(
+            c_rest, ridx, keepdims=False)[0]
+        ys = pseudorandom_indices_traced(col_root, q, queries,
+                                         exclude_multiples_of=exclude)
+
+        col_bundle = tree_bundle(col_words, c_lvl1, c_rest, ys, logn - 2)
+        row_idx = (ys[:, None]
+                   + q * jnp.arange(4, dtype=jnp.int32)[None]).reshape(-1)
+        row_bundle = tree_bundle(tleaf, tlvl1, trest, row_idx, logn)
+
+        # --- next round's state: column becomes values + row tree -----
+        new_values = jnp.concatenate(
+            [column, jnp.zeros((n - nq, NL), jnp.uint32)], axis=0)
+        new_tleaf = jnp.concatenate([col_words, leaf_pad], axis=0)
+        new_tlvl1 = jnp.concatenate([c_lvl1, lvl1_pad], axis=0)
+        pad_rows = jnp.zeros((c_rest.shape[0], n // 4 - n // 16, 8),
+                             jnp.uint32)
+        new_rest = jnp.concatenate([c_rest, pad_rows], axis=1)
+        pad_lvls = jnp.zeros((L1 - new_rest.shape[0], n // 4, 8),
+                             jnp.uint32)
+        new_rest = jnp.concatenate([new_rest, pad_lvls], axis=0)
+
+        new_carry = (new_values, new_tleaf, new_tlvl1, new_rest, col_root)
+        return new_carry, (col_root, col_bundle, row_bundle)
+
+    init = (l_evals, l_words, l_lvl1, l_rest, l_root)
+    xs = (qs, root_idx, fri_inv_pows[:rounds])
+    carry, (col_roots, col_bundles, row_bundles) = jax.lax.scan(
+        body, init, xs)
+    final_values = carry[0]
+    return col_roots, col_bundles, row_bundles, final_values
+
+
+# ---------------------------------------------------------------------------
+# Batch inversion / inverse with scan-only control flow
+# ---------------------------------------------------------------------------
+
+def inv_scan(x):
+    """Fermat inverse x^(p-2) with the square-and-multiply loop as a
+    scan over a static bit table (fori_loop compiles pathologically on
+    the tunneled backend; scan does not). inv(0) = 0."""
+    e = fl.MODULUS - 2
+    bits = jnp.asarray([(e >> i) & 1 for i in range(e.bit_length())][::-1],
+                       jnp.uint32)
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+
+    def step(acc, bit):
+        acc = fl.mul(acc, acc)
+        return jnp.where(bit == 1, fl.mul(acc, x), acc), None
+
+    out, _ = jax.lax.scan(step, one, bits)
+    return out
+
+
+def batch_inv_scan(v, rows: int = None):
+    """`multi_inv` (SURVEY §3.1): ONE Fermat inversion + prefix/suffix
+    products, blocked [R, C] so the scans vectorize across rows. Same
+    math as limbs.batch_inv but with the final inversion scan-only."""
+    n = v.shape[0]
+    if rows is None:
+        rows = 1
+        while rows * rows < n and rows < 4096:
+            rows *= 2
+        while n % rows:
+            rows //= 2
+    cols = n // rows
+
+    is_zero = jnp.all(v == 0, axis=-1, keepdims=True)
+    one = jnp.zeros_like(v).at[..., 0].set(1)
+    v1 = jnp.where(is_zero, one, v)
+
+    vr = jnp.moveaxis(v1.reshape(rows, cols, NL), 1, 0)  # [C, R, 16]
+    one_row = jnp.zeros((rows, NL), jnp.uint32).at[..., 0].set(1)
+
+    def scan_excl(carry, x):
+        return fl.mul(carry, x), carry
+
+    row_total, pre_excl = jax.lax.scan(scan_excl, one_row, vr)
+    _, suf_excl_r = jax.lax.scan(scan_excl, one_row, vr[::-1])
+    suf_excl = suf_excl_r[::-1]
+
+    one1 = jnp.zeros((NL,), jnp.uint32).at[0].set(1)
+    total, row_pre_excl = jax.lax.scan(scan_excl, one1, row_total)
+    _, row_suf_excl_r = jax.lax.scan(scan_excl, one1, row_total[::-1])
+    row_suf_excl = row_suf_excl_r[::-1]
+
+    total_inv = inv_scan(total)
+
+    before = fl.mul(row_pre_excl[None], pre_excl)
+    after = fl.mul(row_suf_excl[None], suf_excl)
+    out = fl.mul(fl.mul(before, after), total_inv[None, None])
+    out = jnp.moveaxis(out, 0, 1).reshape(n, NL)
+    return jnp.where(is_zero, jnp.zeros_like(out), out)
+
+
+# ---------------------------------------------------------------------------
+# MiMC trace on device
+# ---------------------------------------------------------------------------
+
+def trace_scan(inp_limbs, constants_tiled):
+    """[steps,16] MiMC trace from a [steps-1,16] tiled constant table:
+    x_{i+1} = x_i^3 + c_i (SURVEY §4.1 step 1). 8192 sequential steps
+    execute in ~0.8 ms on-device — no host trace or H2D transfer."""
+    def step(x, c):
+        nx = fl.add(fl.cube(x), c)
+        return nx, nx
+
+    _, ys = jax.lax.scan(step, inp_limbs, constants_tiled)
+    return jnp.concatenate([inp_limbs[None], ys], axis=0)

@@ -74,7 +74,10 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
         try:
             return verifier.verify_mimc_proof(inp, steps, round_constants,
                                               output, proof)
-        except AssertionError:
+        except Exception:
+            # Any parse/shape/assertion failure inside verification means
+            # the candidate proof is bad — count it as a failed attempt
+            # eligible for retry rather than aborting the batch.
             return False
 
     proofs = []
@@ -84,8 +87,13 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
             from ..utils.artifacts import claim_key
             key = claim_key(inp, steps, round_constants)
             if store.has_proof(key):
-                proofs.append(store.get_proof(key))
-                continue
+                stored = store.get_proof(key)
+                # A corrupted/stale store entry must not bypass the
+                # self-verification the caller asked for; fall through to
+                # re-prove if the stored proof fails.
+                if check_one(inp, stored):
+                    proofs.append(stored)
+                    continue
         proof, last_err = None, None
         for _ in range(max_retries + 1):
             try:

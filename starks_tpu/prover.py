@@ -195,6 +195,11 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
     """Full proof [m_root, l_root, main_branches, lc_branches, fri_proof]
     (SURVEY §A.8), bit-compatible with the reference transcript.
 
+    Single-chip proofs run the ONE-DISPATCH fused core (`_fused_core`):
+    trace scan, LDE, constraints, Merkle commitments, Fiat-Shamir and
+    the full FRI execute as a single jitted graph with a single bulk
+    device->host transfer (see ops/fused.py for why).
+
     With `mesh` (a Mesh carrying a "shard" axis), the evaluation-domain
     arrays are contiguously sharded across chips and both LDE NTTs run as
     sharded four-step transforms with all-to-all transposes over ICI
@@ -202,6 +207,9 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
     ride GSPMD propagation of that sharding. Transcript bytes are
     IDENTICAL to the single-chip path (tested on an 8-device CPU mesh).
     """
+    if mesh is None:
+        return mk_mimc_proof_fused(inp, steps, round_constants,
+                                   config=config)
     trace = mimc_model.trace_limbs(inp, steps, round_constants)
     return mk_mimc_proof_with_trace(inp, steps, round_constants, trace,
                                     mesh=mesh, config=config)
@@ -336,6 +344,250 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
     LAST_PROOF_TIMINGS.clear()
     LAST_PROOF_TIMINGS.update(timer.stages)
     LAST_PROOF_TIMINGS["total"] = timer.total()
+
+    return [m_root, l_root, main_branches, lc_branches, fri_proof]
+
+
+# ---------------------------------------------------------------------------
+# One-dispatch fused prover (ops/fused.py)
+# ---------------------------------------------------------------------------
+
+class _FusedSetup:
+    """Per-(steps, config) static schedule + host-precomputed constants
+    + device twiddle plan for the one-dispatch prover core."""
+
+    _cache = {}
+
+    def __init__(self, steps: int, config: StarkConfig):
+        from .ops import fused
+        ext = config.extension_factor
+        precision = steps * ext
+        G2 = pow(config.generator, (MODULUS - 1) // precision, MODULUS)
+        G1 = pow(G2, ext, MODULUS)
+        self.steps = steps
+        self.config = config
+        self.precision = precision
+        self.ext = ext
+        self.G1, self.G2 = G1, G2
+        self.logn = precision.bit_length() - 1
+        self.schedule = fused.fri_round_schedule(
+            precision, steps * 2, config.fri_base_cutoff)
+        self.rounds = len(self.schedule)
+        self.n_final = precision // 4 ** self.rounds
+        self.plan = fused.FusedPlan.get(steps, precision, G1, G2,
+                                        self.rounds)
+
+        last = pow(G2, (steps - 1) * ext, MODULUS)
+        h = pow(G2, steps, MODULUS)
+        self.last_l = jnp.asarray(int_to_limbs(last))
+        self.one_l = jnp.asarray(int_to_limbs(1))
+        self.islope_l = jnp.asarray(int_to_limbs(hf.inv(last - 1)))
+        self.zni8 = jnp.asarray(ints_to_limbs(
+            [hf.inv(pow(h, i, MODULUS) - 1) for i in range(ext)]))
+        self.h_pows = jnp.asarray(ints_to_limbs(
+            [pow(h, i, MODULUS) for i in range(ext)]))
+        self.eta_l = jnp.asarray(int_to_limbs(
+            pow(G2, precision // 4, MODULUS)))
+        self.inv4_l = jnp.asarray(int_to_limbs(hf.inv(4)))
+
+        # Output-vector layout (static widths, host decode).
+        self.Wm = 2 * 24 + 8 * (self.logn - 1)
+        self.Wl = 2 * 8 + 8 * (self.logn - 1)
+        self.Wc = 2 * 8 + 8 * (self.logn - 3)
+        self.Wr = self.Wl
+        q = config.fri_queries
+        s = config.spot_checks
+        self.sections = [
+            ("m_root", (8,)),
+            ("l_root", (8,)),
+            ("main_bundle", (2 * s, self.Wm)),
+            ("lc_bundle", (s, self.Wl)),
+            ("col_roots", (self.rounds, 8)),
+            ("col_bundles", (self.rounds, q, self.Wc)),
+            ("row_bundles", (self.rounds, 4 * q, self.Wr)),
+            ("base_words", (self.n_final, 8)),
+        ]
+        self._core = None
+
+    @classmethod
+    def get(cls, steps: int, config: StarkConfig) -> "_FusedSetup":
+        key = (steps, config)
+        if key not in cls._cache:
+            cls._cache[key] = cls(steps, config)
+        return cls._cache[key]
+
+    def k_ext_limbs(self, round_constants):
+        """Round-constant mini-polynomial extension K over the 8x domain
+        (SURVEY §4.1 step 4) — tiny host NTT, cached per constant list."""
+        key = tuple(round_constants)
+        cache = getattr(self, "_kext_cache", None)
+        if cache is None:
+            cache = self._kext_cache = {}
+        if key not in cache:
+            skips2 = self.steps // len(round_constants)
+            mini = hf.host_ntt(list(round_constants),
+                               pow(self.G1, skips2, MODULUS), inverse=True)
+            k_ext = hf.host_ntt(mini, pow(self.G2, skips2, MODULUS))
+            cache[key] = jnp.asarray(
+                ints_to_limbs([x % MODULUS for x in k_ext]))
+        return cache[key]
+
+    def core(self):
+        """The jitted one-dispatch proof core (compiled once per steps;
+        persisted by the compilation cache)."""
+        if self._core is not None:
+            return self._core
+        from .ops import fused
+
+        steps, precision = self.steps, self.precision
+        ext, logn = self.ext, self.logn
+        schedule = self.schedule
+        cfg = self.config
+        n_final = self.n_final
+
+        def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
+                    last_l, one_l, xs_big, tw_inv_small, n_inv_small,
+                    tw_fwd_big, fri_inv_pows, eta_l, inv4_l):
+            # 1. trace (sequential scan on device, SURVEY §4.1 step 1).
+            trace = fused.trace_scan(inp_l, cs_tiled)
+            output_l = trace[-1]
+
+            # 2-3. LDE.
+            p = fused.lde_fused(trace, tw_inv_small, n_inv_small,
+                                tw_fwd_big)
+
+            # 5-7. Constraint / quotient / boundary (steps 5-7): all
+            # 8-periodic scalars were host-precomputed; the boundary
+            # interpolant through (1, inp), (last, output) is built
+            # in-graph from the traced output.
+            k_tiled = jnp.tile(k_ext, (precision // k_ext.shape[0], 1))
+            zni_tiled = jnp.tile(zni8, (precision // ext, 1))
+            p_shift = jnp.roll(p, -ext, axis=0)
+            c_ev = fl.sub(fl.sub(p_shift, fl.cube(p)), k_tiled)
+            xs_minus_last = fl.sub(xs_big, last_l[None])
+            d = fl.mul(fl.mul(c_ev, xs_minus_last), zni_tiled)
+            slope = fl.mul(fl.sub(output_l, inp_l), islope_l)
+            i_ev = fl.add(fl.sub(inp_l, slope)[None],
+                          fl.mul(slope[None], xs_big))
+            z2 = fl.mul(fl.sub(xs_big, one_l[None]), xs_minus_last)
+            b_ev = fl.mul(fl.sub(p, i_ev), fused.batch_inv_scan(z2))
+
+            # 8. Commit #1 (96-byte P||D||B leaves).
+            mleaf = jnp.concatenate([b2.limbs_to_words(p),
+                                     b2.limbs_to_words(d),
+                                     b2.limbs_to_words(b_ev)], axis=-1)
+            m_lvl1, m_rest, m_root = fused.tree_build(mleaf)
+
+            # 9. Fiat-Shamir weights + linear combination (step 9).
+            k1 = td.challenge_limbs(m_root, 1)
+            k2 = td.challenge_limbs(m_root, 2)
+            k3 = td.challenge_limbs(m_root, 3)
+            k4 = td.challenge_limbs(m_root, 4)
+            coef_p = jnp.tile(td.lincomb_coeffs(k1, k2, h_pows),
+                              (precision // ext, 1))
+            coef_b = jnp.tile(td.lincomb_coeffs(k3, k4, h_pows),
+                              (precision // ext, 1))
+            l = fl.add(d, fl.add(fl.mul(p, coef_p), fl.mul(b_ev, coef_b)))
+
+            # 10. Commit #2.
+            l_words = b2.limbs_to_words(l)
+            l_lvl1, l_rest, l_root = fused.tree_build(l_words)
+
+            # 11. Spot checks (step 11).
+            positions = td.pseudorandom_indices_dev(
+                l_root, precision, cfg.spot_checks,
+                exclude_multiples_of=ext)
+            aug = jnp.stack([positions, (positions + ext) % precision],
+                            axis=1).reshape(-1)
+            main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
+                                            logn)
+            lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
+                                          positions, logn)
+
+            # 12. FRI (step 12) — one scan over rounds.
+            col_roots, col_bundles, row_bundles, final_vals = \
+                fused.fri_commit_scan(l, l_words, l_lvl1, l_rest, l_root,
+                                      fri_inv_pows, schedule, eta_l,
+                                      inv4_l, cfg.fri_queries, ext)
+            base_words = b2.limbs_to_words(final_vals[:n_final])
+
+            # 13. ONE flat output vector; host decodes by static layout.
+            parts = [m_root, l_root, main_bundle, lc_bundle, col_roots,
+                     col_bundles, row_bundles, base_words]
+            return jnp.concatenate([x.reshape(-1) for x in parts])
+
+        self._core = jax.jit(core_fn)
+        return self._core
+
+
+def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
+                        config: StarkConfig = REFERENCE):
+    """One-dispatch fused prover: the whole post-input proof is a single
+    jitted graph and a single bulk device->host transfer. Transcript
+    bytes identical to the staged path and the reference spec
+    (tests/test_fused.py, tests/test_prover.py)."""
+    assert steps <= 2**32 // config.extension_factor
+    assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
+    assert len(round_constants) < steps
+
+    timer = _StageTimer(f"prove steps={steps} (fused)")
+    su = _FusedSetup.get(steps, config)
+    plan = su.plan
+
+    inp_l = jnp.asarray(int_to_limbs(inp % MODULUS))
+    reps = (steps - 1 + len(round_constants) - 1) // len(round_constants)
+    cs_np = np.asarray(ints_to_limbs(
+        [c % MODULUS for c in round_constants]))
+    cs_tiled = jnp.asarray(np.tile(cs_np, (reps, 1))[:steps - 1])
+    k_ext = su.k_ext_limbs(round_constants)
+    timer.mark("setup")
+
+    flat = su.core()(inp_l, cs_tiled, k_ext, su.zni8, su.h_pows,
+                     su.islope_l, su.last_l, su.one_l, plan.xs_big,
+                     plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
+                     plan.fri_inv_pows, su.eta_l, su.inv4_l)
+    timer.mark("dispatch")
+    flat_np = np.asarray(flat)
+    timer.mark("device compute + transfer")
+
+    proof = _decode_fused(flat_np, su)
+    timer.mark("proof assembly")
+    LAST_PROOF_TIMINGS.clear()
+    LAST_PROOF_TIMINGS.update(timer.stages)
+    LAST_PROOF_TIMINGS["total"] = timer.total()
+    return proof
+
+
+def _decode_fused(flat_np, su: _FusedSetup):
+    """Host decode of the fused core's flat output vector into the
+    reference-shaped proof object (SURVEY §A.8)."""
+    sec = {}
+    off = 0
+    for name, shape in su.sections:
+        size = int(np.prod(shape))
+        sec[name] = flat_np[off:off + size].reshape(shape)
+        off += size
+    assert off == flat_np.shape[0], (off, flat_np.shape)
+
+    m_root = digest_words_to_bytes(sec["m_root"])
+    l_root = digest_words_to_bytes(sec["l_root"])
+    main_branches = MerkleTree.bundle_to_branches(sec["main_bundle"], 24)
+    lc_branches = MerkleTree.bundle_to_branches(sec["lc_bundle"], 8)
+
+    fri_proof = []
+    for r, (n_r, q_r) in enumerate(su.schedule):
+        root_bytes = digest_words_to_bytes(sec["col_roots"][r])
+        w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
+        w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
+        col_branches = MerkleTree.bundle_to_branches(
+            sec["col_bundles"][r][:, :w_col], 8)
+        row_branches = MerkleTree.bundle_to_branches(
+            sec["row_bundles"][r][:, :w_row], 8)
+        branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
+                    for i in range(len(col_branches))]
+        fri_proof.append([root_bytes, branches])
+    fri_proof.append([digest_words_to_bytes(w)
+                      for w in sec["base_words"]])
 
     return [m_root, l_root, main_branches, lc_branches, fri_proof]
 

@@ -28,12 +28,18 @@ from .. import serialize as ser
 
 
 def claim_key(inp: int, steps: int, round_constants) -> str:
-    """Content address of a MiMC claim (hex blake2s digest)."""
-    enc = (inp % (1 << 256)).to_bytes(32, 'big')
+    """Content address of a MiMC claim (hex blake2s digest).
+
+    Inputs/constants are canonicalized mod the FIELD modulus (not 2^256):
+    the prover reduces them mod p, so values differing by p are the same
+    claim and must share a key, while values differing by 2^256 - p are
+    distinct claims and must not collide."""
+    from ..ops.limbs import MODULUS
+    enc = (inp % MODULUS).to_bytes(32, 'big')
     enc += steps.to_bytes(8, 'big')
     enc += len(round_constants).to_bytes(8, 'big')
     for c in round_constants:
-        enc += (c % (1 << 256)).to_bytes(32, 'big')
+        enc += (c % MODULUS).to_bytes(32, 'big')
     return blake(enc).hex()
 
 
@@ -66,8 +72,10 @@ class ProofStore:
         os.replace(tmp, ppath)
         record = {"m_root": m_root, "bin_length": len(data)}
         record.update(meta or {})
-        with open(mpath, "w") as f:
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
             json.dump(record, f)
+        os.replace(mtmp, mpath)
 
     def get_proof(self, key: str):
         with open(self._paths(key)[0], "rb") as f:
