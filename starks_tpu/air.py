@@ -241,6 +241,282 @@ def prove_air(air: AIR, inputs, steps: int):
             public_boundary]
 
 
+class _FusedAIRSetup:
+    """Per-(air, steps) static schedule + precomputed device tables for
+    the ONE-DISPATCH AIR prover (`prove_air_fused`) — the AIR analog of
+    prover._FusedSetup. Everything that does not depend on the claim's
+    inputs is hoisted here: twiddle plans, periodic-constant extensions,
+    x - last / Z-numerator-inverse tables, boundary Lagrange BASIS
+    evaluations and 1/Z_r tables (boundary POINTS are part of the AIR;
+    only boundary VALUES are traced per claim)."""
+
+    _cache = {}
+
+    def __init__(self, air: AIR, steps: int):
+        import jax
+        from .ops import fused
+        from .ops import transcript_dev as td
+        from .utils.conversions import int_to_limbs
+
+        ext = pv.EXTENSION_FACTOR
+        precision = steps * ext
+        G2 = pow(pv.GENERATOR, (MODULUS - 1) // precision, MODULUS)
+        G1 = pow(G2, ext, MODULUS)
+        self.air, self.steps = air, steps
+        self.precision, self.ext = precision, ext
+        self.G1, self.G2 = G1, G2
+        self.logn = precision.bit_length() - 1
+        self.schedule = fused.fri_round_schedule(
+            precision, steps * 2, pv.FRI_BASE_CUTOFF)
+        self.rounds = len(self.schedule)
+        self.n_final = precision // 4 ** self.rounds
+        self.plan = fused.FusedPlan.get(steps, precision, G1, G2,
+                                        self.rounds)
+
+        last = pow(G2, (steps - 1) * ext, MODULUS)
+        h = pow(G2, steps, MODULUS)
+        xs = self.plan.xs_big
+        t = {}
+        t["x_minus_last"] = fl.sub(xs, jnp.asarray(int_to_limbs(last))[None])
+        t["zni"] = jnp.tile(jnp.asarray(ints_to_limbs(
+            [hf.inv(pow(h, i, MODULUS) - 1) for i in range(ext)])),
+            (precision // ext, 1))
+        self.h_pows = jnp.asarray(ints_to_limbs(
+            [pow(h, i, MODULUS) for i in range(ext)]))
+        self.eta_l = jnp.asarray(int_to_limbs(
+            pow(G2, precision // 4, MODULUS)))
+        self.inv4_l = jnp.asarray(int_to_limbs(hf.inv(4)))
+
+        # Periodic constant extensions (host mini-NTTs, tiled).
+        t["k_tables"] = []
+        for col in air.constants:
+            skips2 = steps // len(col)
+            mini = hf.host_ntt(list(col), pow(G1, skips2, MODULUS),
+                               inverse=True)
+            extv = hf.host_ntt(mini, pow(G2, skips2, MODULUS))
+            t["k_tables"].append(jnp.tile(
+                jnp.asarray(ints_to_limbs(extv)),
+                (precision // len(extv), 1)))
+
+        # Boundary structure: basis/Z tables per bounded register.
+        bpoints = air.boundary_points(steps)
+        by_reg = {}
+        for (step, reg) in bpoints:
+            by_reg.setdefault(reg, []).append(step)
+        self.b_regs = sorted(by_reg)
+        self.b_steps = {reg: sorted(by_reg[reg]) for reg in self.b_regs}
+        t["basis"] = []        # per reg: list of [N,16] basis evals
+        t["inv_z"] = []        # per reg: [N,16] 1/Z_r evals
+        for reg in self.b_regs:
+            xs_pts = [pow(G1, s, MODULUS) for s in self.b_steps[reg]]
+            basis_r = []
+            for j, xj in enumerate(xs_pts):
+                # L_j(x) = prod_{l!=j}(x - x_l) / (x_j - x_l)
+                num = [1]
+                denom = 1
+                for l, xl in enumerate(xs_pts):
+                    if l == j:
+                        continue
+                    num = hf._mul_linear(num, xl, MODULUS)
+                    denom = denom * (xj - xl) % MODULUS
+                scale = hf.inv(denom)
+                coeffs = [c * scale % MODULUS for c in num]
+                ev = jnp.tile(jnp.asarray(ints_to_limbs([coeffs[-1]])),
+                              (precision, 1))
+                for c in reversed(coeffs[:-1]):
+                    ev = fl.add(fl.mul(ev, xs), jnp.tile(
+                        jnp.asarray(ints_to_limbs([c])), (precision, 1)))
+                basis_r.append(ev)
+            t["basis"].append(basis_r)
+            z = None
+            for xb in xs_pts:
+                factor = fl.sub(xs, jnp.asarray(int_to_limbs(xb))[None])
+                z = factor if z is None else fl.mul(z, factor)
+            t["inv_z"].append(jax.jit(fused.batch_inv_scan)(z))
+        self.tables = t
+
+        self.w = air.width
+        self.nc = air.num_constraints
+        self.nb = len(self.b_regs)
+        self.leaf_cols = self.w + self.nc + self.nb
+        self.n_weights = self.nc + 2 * (self.w + self.nb)
+        lw = 8 * self.leaf_cols
+        q = pv.FRI_QUERIES
+        s = pv.SPOT_CHECK_SECURITY_FACTOR
+        self.Wm = 2 * lw + 8 * (self.logn - 1)
+        self.Wl = 2 * 8 + 8 * (self.logn - 1)
+        self.Wc = 2 * 8 + 8 * (self.logn - 3)
+        self.sections = [
+            ("m_root", (8,)),
+            ("l_root", (8,)),
+            ("main_bundle", (2 * s, self.Wm)),
+            ("lc_bundle", (s, self.Wl)),
+            ("col_roots", (self.rounds, 8)),
+            ("col_bundles", (self.rounds, q, self.Wc)),
+            ("row_bundles", (self.rounds, 4 * q, self.Wl)),
+            ("base_words", (self.n_final, 8)),
+        ]
+        self._core = None
+
+    @classmethod
+    def get(cls, air: AIR, steps: int) -> "_FusedAIRSetup":
+        key = (id(air), steps)
+        if key not in cls._cache:
+            cls._cache[key] = cls(air, steps)
+        return cls._cache[key]
+
+    def core(self):
+        if self._core is not None:
+            return self._core
+        import jax
+        from .ops import fused
+        from .ops import transcript_dev as td
+
+        air = self.air
+        precision, ext, logn = self.precision, self.ext, self.logn
+        plan, t = self.plan, self.tables
+        schedule, n_final = self.schedule, self.n_final
+        w, nc = self.w, self.nc
+        b_regs = self.b_regs
+
+        def core_fn(trace_l, ys_l):
+            barrier = jax.lax.optimization_barrier
+            # Per-register LDE (fused iNTT -> zero-interleave -> NTT).
+            p_cols = []
+            for r in range(w):
+                p = fused.lde_fused(barrier(trace_l[:, r]),
+                                    plan.tw_inv_small, plan.n_inv_small,
+                                    plan.tw_fwd_big)
+                p_cols.append(barrier(p))
+
+            # Transition constraints -> quotients.
+            nxt = [jnp.roll(p, -ext, axis=0) for p in p_cols]
+            ops = DeviceOps(precision)
+            c_list = air.transition(p_cols, nxt, t["k_tables"], ops)
+            d_cols = [fl.mul(fl.mul(c, t["x_minus_last"]), t["zni"])
+                      for c in c_list]
+
+            # Boundary columns from traced boundary VALUES.
+            b_cols = []
+            pt = 0
+            for ri, reg in enumerate(b_regs):
+                i_ev = None
+                for basis_ev in t["basis"][ri]:
+                    term = fl.mul(ys_l[pt][None], basis_ev)
+                    i_ev = term if i_ev is None else fl.add(i_ev, term)
+                    pt += 1
+                b = fl.mul(fl.sub(p_cols[reg], i_ev), t["inv_z"][ri])
+                b_cols.append(b)
+            d_cols = barrier(d_cols)
+            b_cols = barrier(b_cols) if b_cols else b_cols
+
+            # Commit #1: leaf = P cols || D cols || B cols.
+            cols = p_cols + d_cols + b_cols
+            mleaf = jnp.concatenate([b2.limbs_to_words(c) for c in cols],
+                                    axis=-1)
+            m_lvl1, m_rest, m_root = barrier(fused.tree_build(mleaf))
+
+            # Fiat-Shamir weights + linear combination.
+            ks = [td.challenge_limbs(m_root, j + 1)
+                  for j in range(self.n_weights)]
+            ki = iter(ks)
+            l = None
+            for d in d_cols:
+                term = fl.mul(d, next(ki)[None])
+                l = term if l is None else fl.add(l, term)
+            for col in p_cols + b_cols:
+                coef = jnp.tile(
+                    td.lincomb_coeffs(next(ki), next(ki), self.h_pows),
+                    (precision // ext, 1))
+                l = fl.add(l, fl.mul(col, coef))
+            l = barrier(l)
+
+            l_words = b2.limbs_to_words(l)
+            l_lvl1, l_rest, l_root = barrier(fused.tree_build(l_words))
+
+            positions = td.pseudorandom_indices_dev(
+                l_root, precision, pv.SPOT_CHECK_SECURITY_FACTOR,
+                exclude_multiples_of=ext)
+            aug = jnp.stack([positions, (positions + ext) % precision],
+                            axis=1).reshape(-1)
+            main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
+                                            logn)
+            lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
+                                          positions, logn)
+            main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
+
+            col_roots, col_bundles, row_bundles, final_vals = \
+                fused.fri_commit_scan(l, l_words, l_lvl1, l_rest, l_root,
+                                      plan.fri_inv_pows, schedule,
+                                      self.eta_l, self.inv4_l,
+                                      pv.FRI_QUERIES, ext)
+            base_words = b2.limbs_to_words(final_vals[:n_final])
+
+            parts = [m_root, l_root, main_bundle, lc_bundle, col_roots,
+                     col_bundles, row_bundles, base_words]
+            return jnp.concatenate([x.reshape(-1) for x in parts])
+
+        self._core = jax.jit(core_fn)
+        return self._core
+
+
+def prove_air_fused(air: AIR, inputs, steps: int):
+    """One-dispatch AIR prover: the whole post-trace proof is a single
+    jitted graph + one bulk device->host transfer (the AIR analog of
+    `prover.mk_mimc_proof_fused`; device-resident Fiat-Shamir, no
+    per-stage host round-trips). Proof objects are bit-identical to
+    `prove_air` (tests/test_air.py)."""
+    assert is_a_power_of_2(steps)
+    su = _FusedAIRSetup.get(air, steps)
+
+    trace_rows = air.trace(inputs, steps)
+    trace_l = jnp.asarray(np.stack(
+        [np.asarray(ints_to_limbs(row)) for row in trace_rows]))
+
+    boundary_values = {(s, r): trace_rows[s][r]
+                       for (s, r) in air.boundary_points(steps)}
+    ys = [boundary_values[(s, reg)]
+          for reg in su.b_regs for s in su.b_steps[reg]]
+    ys_l = jnp.asarray(ints_to_limbs(ys)) if ys else \
+        jnp.zeros((0, fl.NUM_LIMBS), jnp.uint32)
+
+    flat_np = np.asarray(su.core()(trace_l, ys_l))
+
+    sec = {}
+    off = 0
+    for name, shape in su.sections:
+        size = int(np.prod(shape))
+        sec[name] = flat_np[off:off + size].reshape(shape)
+        off += size
+    assert off == flat_np.shape[0], (off, flat_np.shape)
+
+    from .utils.conversions import digest_words_to_bytes
+    m_root = digest_words_to_bytes(sec["m_root"])
+    l_root = digest_words_to_bytes(sec["l_root"])
+    lw = 8 * su.leaf_cols
+    main_branches = MerkleTree.bundle_to_branches(sec["main_bundle"], lw)
+    lc_branches = MerkleTree.bundle_to_branches(sec["lc_bundle"], 8)
+
+    fri_proof = []
+    for r, (n_r, q_r) in enumerate(su.schedule):
+        root_bytes = digest_words_to_bytes(sec["col_roots"][r])
+        w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
+        w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
+        col_branches = MerkleTree.bundle_to_branches(
+            sec["col_bundles"][r][:, :w_col], 8)
+        row_branches = MerkleTree.bundle_to_branches(
+            sec["row_bundles"][r][:, :w_row], 8)
+        branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
+                    for i in range(len(col_branches))]
+        fri_proof.append([root_bytes, branches])
+    fri_proof.append([digest_words_to_bytes(x)
+                      for x in sec["base_words"]])
+
+    public_boundary = sorted(boundary_values.items())
+    return [m_root, l_root, main_branches, lc_branches, fri_proof,
+            public_boundary]
+
+
 def verify_air(air: AIR, steps: int, proof) -> bool:
     """Verify an AIR proof against its public boundary values."""
     from .verifier import verify_branch, verify_low_degree_proof, _check

@@ -132,6 +132,86 @@ def blake2s_words(m, total_bytes: int):
     return h
 
 
+# ---------------------------------------------------------------------------
+# Transposed (structure-of-arrays) formulation: each of the 16 state
+# words is its own [batch] array, so the VPU vectorizes across MESSAGES
+# with full lane utilization and the 4x4 diagonalization is pure Python
+# variable renaming (zero data movement). The row formulation above
+# keeps batch on sublanes and words on lanes (4/128 used) and pays two
+# lane-rolls per round — measured ~0.7 us/hash; this one is the hot-path
+# form used by the fused prover's Merkle levels.
+# ---------------------------------------------------------------------------
+
+def _g_t(v, a, b, c, d, x, y):
+    """G on scalar-per-message arrays (state list v indexed in place)."""
+    va, vb, vc, vd = v[a], v[b], v[c], v[d]
+    va = va + vb + x
+    vd = _rotr(vd ^ va, 16)
+    vc = vc + vd
+    vb = _rotr(vb ^ vc, 12)
+    va = va + vb + y
+    vd = _rotr(vd ^ va, 8)
+    vc = vc + vd
+    vb = _rotr(vb ^ vc, 7)
+    v[a], v[b], v[c], v[d] = va, vb, vc, vd
+
+
+def compress_t(h_cols, m_cols, t, final: bool):
+    """One blake2s compression on transposed operands.
+
+    h_cols: list of 8 [batch] uint32 arrays; m_cols: list of 16 [batch]
+    arrays; t: traced uint32 scalar (bytes hashed through this block);
+    final: static last-block flag. Returns 8 [batch] arrays."""
+    batch = h_cols[0].shape
+    t = jnp.asarray(t, jnp.uint32)
+    v = list(h_cols)
+    for k in range(4):
+        v.append(jnp.broadcast_to(jnp.uint32(IV[k]), batch))
+    v.append(jnp.broadcast_to(jnp.uint32(IV[4]) ^ t, batch))
+    v.append(jnp.broadcast_to(jnp.uint32(IV[5]), batch))
+    fmask = np.uint32(0xFFFFFFFF if final else 0)
+    v.append(jnp.broadcast_to(jnp.uint32(IV[6]) ^ fmask, batch))
+    v.append(jnp.broadcast_to(jnp.uint32(IV[7]), batch))
+
+    for r in range(10):
+        s = SIGMA[r]
+        _g_t(v, 0, 4, 8, 12, m_cols[s[0]], m_cols[s[1]])
+        _g_t(v, 1, 5, 9, 13, m_cols[s[2]], m_cols[s[3]])
+        _g_t(v, 2, 6, 10, 14, m_cols[s[4]], m_cols[s[5]])
+        _g_t(v, 3, 7, 11, 15, m_cols[s[6]], m_cols[s[7]])
+        _g_t(v, 0, 5, 10, 15, m_cols[s[8]], m_cols[s[9]])
+        _g_t(v, 1, 6, 11, 12, m_cols[s[10]], m_cols[s[11]])
+        _g_t(v, 2, 7, 8, 13, m_cols[s[12]], m_cols[s[13]])
+        _g_t(v, 3, 4, 9, 14, m_cols[s[14]], m_cols[s[15]])
+
+    return [h_cols[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _h0_cols(batch):
+    out = [jnp.broadcast_to(jnp.uint32(IV[0] ^ _PARAM0), batch)]
+    for k in range(1, 8):
+        out.append(jnp.broadcast_to(jnp.uint32(IV[k]), batch))
+    return out
+
+
+def blake2s_words_t(m, total_bytes: int):
+    """blake2s-256 of [..., W] uint32 LE word messages via the transposed
+    kernel. Same contract as `blake2s_words` (W a 16-word multiple,
+    zero-padded); returns [..., 8] digest words."""
+    nwords = m.shape[-1]
+    assert nwords % 16 == 0 and nwords * 4 >= total_bytes
+    nblocks = nwords // 16
+    batch = m.shape[:-1]
+    m_cols = [m[..., i] for i in range(nwords)]
+    h = _h0_cols(batch)
+    for blk in range(nblocks):
+        final = blk == nblocks - 1
+        t = total_bytes if final else 64 * (blk + 1)
+        h = compress_t(h, m_cols[blk * 16:(blk + 1) * 16],
+                       np.uint32(t), final)
+    return jnp.stack(h, axis=-1)
+
+
 def limbs_to_words(x):
     """[..., 16] field-element limbs -> [..., 8] message words equal to the
     32-byte BIG-endian serialization read as little-endian uint32 words

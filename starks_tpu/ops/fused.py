@@ -171,6 +171,21 @@ def lde_fused(trace, tw_inv_small, n_inv_small, tw_fwd_big):
 # Scan-structured Merkle tree
 # ---------------------------------------------------------------------------
 
+def _tree_hasher():
+    """Pick the blake2s formulation for Merkle levels by backend.
+
+    The transposed (structure-of-arrays) kernel `blake2s_words_t` fully
+    utilizes VPU lanes on TPU, but it emits ~3x the HLO instructions of
+    the SIMD-row form, and XLA:CPU's compile time on the nested
+    tree/FRI scans explodes with it (observed: >30 min vs ~4 min for
+    the fused core at steps=64). TPU compiles are served remotely and
+    tolerate it. Both forms are digest-identical (tests/test_ops.py)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return b2.blake2s_words
+    return b2.blake2s_words_t
+
+
 def tree_build(leaf_words):
     """Device Merkle tree as (lvl1, rest, root_words).
 
@@ -183,11 +198,12 @@ def tree_build(leaf_words):
     root_words: [8] = rest[-1][0].
     """
     m, w = leaf_words.shape
-    lvl1 = b2.blake2s_words(leaf_words.reshape(m // 2, 2 * w), 2 * w * 4)
+    hasher = _tree_hasher()
+    lvl1 = hasher(leaf_words.reshape(m // 2, 2 * w), 2 * w * 4)
     logm = m.bit_length() - 1
 
     def step(cur, _):
-        digs = b2.blake2s_words(cur.reshape(m // 4, 16), 64)
+        digs = hasher(cur.reshape(m // 4, 16), 64)
         nxt = jnp.concatenate([digs, digs], axis=0)
         return nxt, digs
 
@@ -311,10 +327,14 @@ def fri_commit_scan(l_evals, l_words, l_lvl1, l_rest, l_root,
         horner = fl.add(fl.mul(u, horner), a1)
         horner = fl.add(fl.mul(u, horner), a0)
         column = fl.mul(horner, inv4_limbs[None])          # [N/4,16]
+        # Fence the fold from the tree build (see prover._FusedSetup:
+        # unfenced scan-into-scan graphs schedule pathologically).
+        column = jax.lax.optimization_barrier(column)
 
         # --- column tree + Fiat-Shamir queries ------------------------
         col_words = b2.limbs_to_words(column)              # [N/4,8]
-        c_lvl1, c_rest, _ = tree_build(col_words)
+        c_lvl1, c_rest, _ = jax.lax.optimization_barrier(
+            tree_build(col_words))
         col_root = jax.lax.dynamic_index_in_dim(
             c_rest, ridx, keepdims=False)[0]
         ys = pseudorandom_indices_traced(col_root, q, queries,

@@ -48,8 +48,22 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
     if not local_inputs:
         return []
 
+    # Single-chip fast path: the vmapped fused core proves the whole
+    # slice in chunked single dispatches (bit-identical per-claim
+    # proofs); store-resume and per-claim verify/retry still apply —
+    # claims that fail batched verification fall back to the scalar
+    # retry loop below.
+    batched = {}
+    if mesh is None and store is None:
+        try:
+            got = prover.mk_mimc_proof_batch_fused(local_inputs, steps,
+                                                   round_constants)
+            batched = dict(zip(range(len(local_inputs)), got))
+        except Exception:
+            batched = {}
+
     traces = None
-    if use_device_traces:
+    if use_device_traces and not batched:
         # One batched scan generates every trace at full VPU width.
         inp_limbs = jnp.asarray(ints_to_limbs([x % prover.MODULUS
                                                for x in local_inputs]))
@@ -94,6 +108,9 @@ def prove_batch(inputs, steps: int, round_constants, mesh=None,
                 if check_one(inp, stored):
                     proofs.append(stored)
                     continue
+        if i in batched and check_one(inp, batched[i]):
+            proofs.append(batched[i])
+            continue
         proof, last_err = None, None
         for _ in range(max_retries + 1):
             try:

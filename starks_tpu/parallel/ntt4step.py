@@ -28,8 +28,7 @@ from ..ops import limbs as fl
 from ..ops import ntt as ntt_mod
 
 
-@jax.jit
-def _butterfly_stage_batched(x, tw):
+def _butterfly_stage_raw(x, tw):
     """One DIT stage along axis 1 of [B, n, 16]."""
     b, n = x.shape[0], x.shape[1]
     m = tw.shape[0]
@@ -38,6 +37,9 @@ def _butterfly_stage_batched(x, tw):
     v = fl.mul(xr[:, :, 1], tw[None, None])
     out = jnp.stack([fl.add(u, v), fl.sub(u, v)], axis=2)
     return out.reshape(b, n, fl.NUM_LIMBS)
+
+
+_butterfly_stage_batched = jax.jit(_butterfly_stage_raw)
 
 
 @jax.jit
@@ -103,6 +105,65 @@ def get_plan(n: int, g: int, mesh) -> FourStepPlan:
 
 def _constrain(x, mesh, spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _ntt_local_axis1(x, domain: ntt_mod.Domain, inverse: bool):
+    """Traced batched NTT along axis 1 of [B, n, 16] (single graph; used
+    inside shard_map where stage-per-dispatch would defeat the point)."""
+    x = jnp.take(x, domain.brev, axis=1)
+    for tw in domain.stage_twiddles(inverse):
+        x = _butterfly_stage_raw(x, tw)
+    if inverse:
+        x = ntt_mod._scale(x, domain.n_inv_limbs)
+    return x
+
+
+def fourstep_ntt_shmap(values, plan: FourStepPlan, inverse: bool = False):
+    """Four-step NTT as ONE `shard_map` program with an EXPLICIT
+    collective schedule: exactly three `lax.all_to_all`s over the
+    "shard" axis (the controlled version of `fourstep_ntt`'s
+    GSPMD-incidental resharding; SURVEY §8 Phase 7a). Local compute
+    between collectives is a single traced graph per device.
+
+    Layout walk (s = shard count, natural order in/out, contiguous row
+    sharding in/out; tests pin both bit-exactness and the collective
+    count):
+      [n/s]        view [n1/s, n2]
+      A2A #1    -> [n1, n2/s]    local size-n1 NTTs batched over n2/s
+      twiddle      w^(n2*k1) (local slice of the sharded table)
+      A2A #2    -> [n2, n1/s]    local size-n2 NTTs batched over n1/s
+      A2A #3    -> [n1, n2/s] -> transpose -> contiguous X rows
+    """
+    from jax.experimental.shard_map import shard_map
+    import functools as ft
+
+    mesh, n1, n2 = plan.mesh, plan.n1, plan.n2
+    s = mesh.shape["shard"]
+    NL = fl.NUM_LIMBS
+    tw_table = plan.twiddle(inverse)
+
+    def body(vals_l, tw_l):
+        a = vals_l.reshape(n1 // s, n2, NL)
+        a = jax.lax.all_to_all(a, "shard", split_axis=1, concat_axis=0,
+                               tiled=True)               # [n1, n2/s, 16]
+        a = jnp.transpose(a, (1, 0, 2))                  # [n2/s, n1, 16]
+        a = _ntt_local_axis1(a, plan.dom1, inverse)      # [n2/s, k1, 16]
+        a = fl.mul(a, tw_l)
+        a = jax.lax.all_to_all(a, "shard", split_axis=1, concat_axis=0,
+                               tiled=True)               # [n2, n1/s, 16]
+        a = jnp.transpose(a, (1, 0, 2))                  # [n1/s, n2, 16]
+        a = _ntt_local_axis1(a, plan.dom2, inverse)      # [n1/s, k2, 16]
+        a = jax.lax.all_to_all(a, "shard", split_axis=1, concat_axis=0,
+                               tiled=True)               # [n1, k2/s, 16]
+        a = jnp.transpose(a, (1, 0, 2))                  # [k2/s, n1, 16]
+        return a.reshape((n2 // s) * n1, NL)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P("shard"), P("shard", None, None)),
+                   out_specs=P("shard"))
+    sharding = NamedSharding(mesh, P("shard"))
+    values = jax.device_put(values, sharding)
+    return jax.jit(fn)(values, tw_table)
 
 
 def fourstep_ntt(values, plan: FourStepPlan, inverse: bool = False):

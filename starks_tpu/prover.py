@@ -390,6 +390,16 @@ class _FusedSetup:
             pow(G2, precision // 4, MODULUS)))
         self.inv4_l = jnp.asarray(int_to_limbs(hf.inv(4)))
 
+        # 1/Z2 where Z2(x) = (x-1)(x-last): a PURE CONSTANT of the
+        # config (independent of inp/output), so the per-proof
+        # batch-inversion the staged path ran in-graph is hoisted to a
+        # one-time device computation here (cached with the setup).
+        from .ops import fused as _fused
+        xs = self.plan.xs_big
+        z2 = fl.mul(fl.sub(xs, self.one_l[None]),
+                    fl.sub(xs, self.last_l[None]))
+        self.inv_z2 = jax.jit(_fused.batch_inv_scan)(z2)
+
         # Output-vector layout (static widths, host decode).
         self.Wm = 2 * 24 + 8 * (self.logn - 1)
         self.Wl = 2 * 8 + 8 * (self.logn - 1)
@@ -447,14 +457,24 @@ class _FusedSetup:
 
         def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
                     last_l, one_l, xs_big, tw_inv_small, n_inv_small,
-                    tw_fwd_big, fri_inv_pows, eta_l, inv4_l):
+                    tw_fwd_big, fri_inv_pows, eta_l, inv4_l, inv_z2):
+            # Stage seams are fenced with optimization_barrier: XLA's
+            # scheduler otherwise fuses the sequential trace scan into
+            # the NTT scan's context, compiling a graph ~20,000x slower
+            # (measured 1208 ms vs 0.06 ms for trace+LDE at 2^13 on the
+            # v5e chip, identical outputs). Barriers pin each scan-
+            # structured stage as its own schedulable unit.
+            barrier = jax.lax.optimization_barrier
+
             # 1. trace (sequential scan on device, SURVEY §4.1 step 1).
             trace = fused.trace_scan(inp_l, cs_tiled)
             output_l = trace[-1]
+            trace = barrier(trace)
 
             # 2-3. LDE.
             p = fused.lde_fused(trace, tw_inv_small, n_inv_small,
                                 tw_fwd_big)
+            p = barrier(p)
 
             # 5-7. Constraint / quotient / boundary (steps 5-7): all
             # 8-periodic scalars were host-precomputed; the boundary
@@ -469,14 +489,14 @@ class _FusedSetup:
             slope = fl.mul(fl.sub(output_l, inp_l), islope_l)
             i_ev = fl.add(fl.sub(inp_l, slope)[None],
                           fl.mul(slope[None], xs_big))
-            z2 = fl.mul(fl.sub(xs_big, one_l[None]), xs_minus_last)
-            b_ev = fl.mul(fl.sub(p, i_ev), fused.batch_inv_scan(z2))
+            b_ev = fl.mul(fl.sub(p, i_ev), inv_z2)
+            d, b_ev = barrier((d, b_ev))
 
             # 8. Commit #1 (96-byte P||D||B leaves).
             mleaf = jnp.concatenate([b2.limbs_to_words(p),
                                      b2.limbs_to_words(d),
                                      b2.limbs_to_words(b_ev)], axis=-1)
-            m_lvl1, m_rest, m_root = fused.tree_build(mleaf)
+            m_lvl1, m_rest, m_root = barrier(fused.tree_build(mleaf))
 
             # 9. Fiat-Shamir weights + linear combination (step 9).
             k1 = td.challenge_limbs(m_root, 1)
@@ -487,11 +507,12 @@ class _FusedSetup:
                               (precision // ext, 1))
             coef_b = jnp.tile(td.lincomb_coeffs(k3, k4, h_pows),
                               (precision // ext, 1))
-            l = fl.add(d, fl.add(fl.mul(p, coef_p), fl.mul(b_ev, coef_b)))
+            l = barrier(
+                fl.add(d, fl.add(fl.mul(p, coef_p), fl.mul(b_ev, coef_b))))
 
             # 10. Commit #2.
             l_words = b2.limbs_to_words(l)
-            l_lvl1, l_rest, l_root = fused.tree_build(l_words)
+            l_lvl1, l_rest, l_root = barrier(fused.tree_build(l_words))
 
             # 11. Spot checks (step 11).
             positions = td.pseudorandom_indices_dev(
@@ -503,6 +524,7 @@ class _FusedSetup:
                                             logn)
             lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
                                           positions, logn)
+            main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
 
             # 12. FRI (step 12) — one scan over rounds.
             col_roots, col_bundles, row_bundles, final_vals = \
@@ -516,8 +538,21 @@ class _FusedSetup:
                      col_bundles, row_bundles, base_words]
             return jnp.concatenate([x.reshape(-1) for x in parts])
 
+        self._core_fn = core_fn
         self._core = jax.jit(core_fn)
         return self._core
+
+    def batch_core(self):
+        """vmap of the one-dispatch core over the INPUT axis: B proofs
+        per dispatch, one [B, L] bulk transfer (config 5's single-host
+        shape — DP across the batch rides the VPU lanes; SURVEY §3.2).
+        All plan/config operands are broadcast (in_axes=None)."""
+        if getattr(self, "_batch_core", None) is not None:
+            return self._batch_core
+        self.core()                      # ensure _core_fn exists
+        axes = (0,) + (None,) * 15
+        self._batch_core = jax.jit(jax.vmap(self._core_fn, in_axes=axes))
+        return self._batch_core
 
 
 def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
@@ -545,7 +580,7 @@ def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
     flat = su.core()(inp_l, cs_tiled, k_ext, su.zni8, su.h_pows,
                      su.islope_l, su.last_l, su.one_l, plan.xs_big,
                      plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
-                     plan.fri_inv_pows, su.eta_l, su.inv4_l)
+                     plan.fri_inv_pows, su.eta_l, su.inv4_l, su.inv_z2)
     timer.mark("dispatch")
     flat_np = np.asarray(flat)
     timer.mark("device compute + transfer")
@@ -556,6 +591,42 @@ def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
     LAST_PROOF_TIMINGS.update(timer.stages)
     LAST_PROOF_TIMINGS["total"] = timer.total()
     return proof
+
+
+def mk_mimc_proof_batch_fused(inps, steps: int, round_constants,
+                              config: StarkConfig = REFERENCE,
+                              chunk: int = None):
+    """Batch-prove independent MiMC claims with the vmapped fused core:
+    each chunk of proofs is ONE device dispatch and ONE bulk transfer.
+    Proof objects are bit-identical to `mk_mimc_proof` per claim
+    (tests/test_fused.py). `chunk` bounds device live memory (~0.5 GB
+    per 2^16-step proof in flight); default 16."""
+    assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
+    assert len(round_constants) < steps
+
+    su = _FusedSetup.get(steps, config)
+    plan = su.plan
+    if chunk is None:
+        chunk = 16
+    reps = (steps - 1 + len(round_constants) - 1) // len(round_constants)
+    cs_np = np.asarray(ints_to_limbs(
+        [c % MODULUS for c in round_constants]))
+    cs_tiled = jnp.asarray(np.tile(cs_np, (reps, 1))[:steps - 1])
+    k_ext = su.k_ext_limbs(round_constants)
+    core = su.batch_core()
+
+    proofs = []
+    for lo in range(0, len(inps), chunk):
+        part = inps[lo:lo + chunk]
+        inp_ls = jnp.asarray(ints_to_limbs([i % MODULUS for i in part]))
+        flat = core(inp_ls, cs_tiled, k_ext, su.zni8, su.h_pows,
+                    su.islope_l, su.last_l, su.one_l, plan.xs_big,
+                    plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
+                    plan.fri_inv_pows, su.eta_l, su.inv4_l, su.inv_z2)
+        flat_np = np.asarray(flat)       # one bulk D2H per chunk
+        for b in range(len(part)):
+            proofs.append(_decode_fused(flat_np[b], su))
+    return proofs
 
 
 def _decode_fused(flat_np, su: _FusedSetup):

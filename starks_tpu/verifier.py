@@ -78,12 +78,11 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
                                   exclude_multiples_of=exclude_multiples_of)
         for i, y in enumerate(ys):
             x1 = pow(root_of_unity, y, m)
-            xcoords = [quartic_roots[j] * x1 % m for j in range(4)]
             row = [verify_branch(merkle_root, y + (roudeg // 4) * j,
                                  branches[i][j + 1], as_int=True)
                    for j in range(4)]
             colval = verify_branch(root2, y, branches[i][0], as_int=True)
-            poly = hf.interp4(xcoords, row)
+            poly = hf.interp4_coset(x1, quartic_roots[1], row)
             _check(hf.eval_quartic(poly, sx) == colval,
                    "FRI fold inconsistency")
         merkle_root = root2
@@ -154,7 +153,7 @@ def verify_mimc_proof(inp: int, steps: int, round_constants, output: int,
         b_of_x = int.from_bytes(leaf1[64:], 'big')
         p_of_g1x = int.from_bytes(leaf2[:32], 'big')
 
-        z = (pow(x, steps, m) - 1) * hf.inv(x - last) % m
+        z = (x_steps - 1) * hf.inv(x - last) % m
         k_of_x = hf.eval_poly_at(mini_poly, pow(x, skips2, m))
 
         # Transition: P(g1 x) - P(x)^3 - K(x) = Z(x) D(x).

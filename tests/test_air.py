@@ -7,7 +7,8 @@ import copy
 import pytest
 
 from starks_tpu import air as air_mod
-from starks_tpu.air import AIR, prove_air, verify_air
+from starks_tpu.air import (AIR, prove_air, prove_air_fused, verify_air,
+                            _FusedAIRSetup)
 from starks_tpu.models.fib_square import (fib_square_air, fib_square_output,
                                           MODULUS)
 
@@ -45,6 +46,16 @@ class TestFibSquare:
         bad[2][0][1] = bytes(32) if bad[2][0][1] != bytes(32) else b'\x01' * 32
         with pytest.raises(AssertionError):
             verify_air(air, STEPS, bad)
+
+
+class TestFusedAir:
+    def test_fused_bit_identical_and_verifies(self, fib_proof):
+        """The one-dispatch AIR core must emit the exact bytes of the
+        staged prover (device transcript == host transcript)."""
+        air, staged = fib_proof
+        fused_p = prove_air_fused(air, [1, 1], STEPS)
+        assert fused_p == staged
+        assert verify_air(air, STEPS, fused_p)
 
 
 class TestMimcAsAir:

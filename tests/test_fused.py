@@ -108,6 +108,20 @@ class TestFusedProof:
                                         proof)
 
 
+    def test_batched_core_bit_identical(self):
+        # The vmapped core (config 5 batch shape) must emit the same
+        # proof bytes per claim as single dispatches.
+        from starks_tpu.prover import (mk_mimc_proof_fused,
+                                       mk_mimc_proof_batch_fused)
+        steps = 64
+        constants = [(i ** 7) ^ 42 for i in range(16)]
+        inps = [3, 5, 7]
+        batch = mk_mimc_proof_batch_fused(inps, steps, constants, chunk=2)
+        for inp, got in zip(inps, batch):
+            assert _proof_eq(got, mk_mimc_proof_fused(inp, steps,
+                                                      constants))
+
+
 def _proof_eq(a, b):
     if isinstance(a, (list, tuple)):
         if not isinstance(b, (list, tuple)) or len(a) != len(b):

@@ -52,6 +52,20 @@ class TestBlake2s:
         for i, m in enumerate(msgs):
             assert digest_words_to_bytes(got[i]) == hashlib.blake2s(m).digest()
 
+    def test_transposed_kernel_matches_hashlib(self):
+        # The structure-of-arrays kernel (batch in lanes, renamed
+        # diagonals) must be digest-identical to hashlib across widths.
+        for nbytes, W in [(64, 16), (32, 16), (192, 48)]:
+            msgs = [bytes([rng.randrange(256) for _ in range(nbytes)])
+                    for _ in range(17)]
+            pad = 4 * W - nbytes
+            words = jnp.asarray(np.stack(
+                [bytes_to_digest_words(m + bytes(pad)) for m in msgs]))
+            got = np.asarray(b2.blake2s_words_t(words, nbytes))
+            for i, m in enumerate(msgs):
+                assert digest_words_to_bytes(got[i]) == \
+                    hashlib.blake2s(m).digest()
+
     def test_limbs_to_words_is_be_serialization(self):
         vals = rand_vals(16)
         limbs = jnp.asarray(ints_to_limbs(vals))

@@ -1,92 +1,29 @@
-"""Multi-chip logic on a virtual 8-device CPU mesh (SURVEY §5: sharded
-NTT/Merkle testable without TPUs): four-step NTT vs oracle FFT, sharded
-prover transcript identity, batch proving."""
+"""Mesh/sharding tests, subprocess-isolated.
 
-import random
+The real tests live in `_parallel_impl.py` (not collected directly) and
+run here under a FRESH interpreter: XLA's forced-8-device CPU platform
+deterministically segfaults when these mesh tests execute after the rest
+of the suite has built many executables in the same process (observed in
+round 1: SIGSEGV at 84/102 tests, every file green in isolation). A
+subprocess gives the mesh its own clean XLA runtime, so one
+`pytest tests/` invocation is green end-to-end while keeping full
+coverage of the sharded four-step NTT / sharded-prover transcript
+identity / batch proving paths.
+"""
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pytest
-
-from oracle.fft import fft as oracle_fft
-from starks_tpu.ops import limbs as fl
-from starks_tpu.parallel import batch as pbatch
-from starks_tpu.parallel import ntt4step
-from starks_tpu.parallel.mesh import make_mesh, shard_rows
-from starks_tpu.utils.conversions import ints_to_limbs, limbs_to_ints
-
-P = fl.MODULUS
-rng = random.Random(21)
+import os
+import subprocess
+import sys
 
 
-@pytest.fixture(scope="module")
-def mesh():
-    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
-    return make_mesh(n_shard=8)
-
-
-class TestFourStep:
-    def test_forward_matches_oracle(self, mesh):
-        n = 1024
-        g = pow(7, (P - 1) // n, P)
-        vals = [rng.randrange(P) for _ in range(n)]
-        plan = ntt4step.get_plan(n, g, mesh)
-        x = jax.device_put(jnp.asarray(ints_to_limbs(vals)), shard_rows(mesh))
-        got = limbs_to_ints(np.asarray(ntt4step.fourstep_ntt(x, plan)))
-        assert got == oracle_fft(vals, P, g)
-
-    def test_inverse_roundtrip(self, mesh):
-        n = 512
-        g = pow(7, (P - 1) // n, P)
-        vals = [rng.randrange(P) for _ in range(n)]
-        plan = ntt4step.get_plan(n, g, mesh)
-        x = jax.device_put(jnp.asarray(ints_to_limbs(vals)), shard_rows(mesh))
-        fwd = ntt4step.fourstep_ntt(x, plan)
-        back = ntt4step.fourstep_ntt(fwd, plan, inverse=True)
-        assert limbs_to_ints(np.asarray(back)) == vals
-
-    def test_inverse_matches_oracle(self, mesh):
-        n = 512
-        g = pow(7, (P - 1) // n, P)
-        vals = [rng.randrange(P) for _ in range(n)]
-        plan = ntt4step.get_plan(n, g, mesh)
-        x = jax.device_put(jnp.asarray(ints_to_limbs(vals)), shard_rows(mesh))
-        got = limbs_to_ints(np.asarray(
-            ntt4step.fourstep_ntt(x, plan, inverse=True)))
-        assert got == oracle_fft(vals, P, g, inv=True)
-
-
-class TestShardedProver:
-    def test_sharded_transcript_identical(self, mesh):
-        """The sharded prover must emit byte-identical proofs."""
-        from starks_tpu import prover as tp
-        steps = 128
-        consts = [(i ** 7) ^ 42 for i in range(32)]
-        single = tp.mk_mimc_proof(3, steps, consts)
-        sharded = tp.mk_mimc_proof(3, steps, consts, mesh=mesh)
-        assert sharded == single
-
-
-class TestBatch:
-    def test_batched_traces_match_host(self):
-        from starks_tpu.models import mimc as mm
-        steps = 64
-        consts = [(i ** 7) ^ 42 for i in range(16)]
-        inps = [5, 7, 11]
-        dev = mm.trace_batch_device(
-            jnp.asarray(ints_to_limbs(inps)), steps,
-            jnp.asarray(ints_to_limbs(consts)))
-        arr = np.asarray(jnp.transpose(dev, (1, 0, 2)))
-        for i, inp in enumerate(inps):
-            assert limbs_to_ints(arr[i]) == mm.trace_host(inp, steps, consts)
-
-    def test_prove_batch_verifies(self):
-        from starks_tpu.models.mimc import mimc_forward
-        steps = 64
-        consts = [(i ** 7) ^ 42 for i in range(16)]
-        inps = [123, 456]
-        proofs = pbatch.prove_batch(inps, steps, consts)
-        outputs = [mimc_forward(i, steps, consts) for i in inps]
-        assert pbatch.verify_batch(inps, steps, consts, outputs, proofs) == \
-            [True, True]
+def test_parallel_suite_in_subprocess():
+    impl = os.path.join(os.path.dirname(__file__), "_parallel_impl.py")
+    env = dict(os.environ, STARKS_TPU_MESH_SUBPROC="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", impl],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, (
+        f"mesh test subprocess failed (rc={r.returncode})\n"
+        f"--- stdout ---\n{r.stdout[-8000:]}\n"
+        f"--- stderr ---\n{r.stderr[-4000:]}")
