@@ -77,14 +77,27 @@ def decompress_fri(compressed):
     return out
 
 
-def bin_length(proof):
-    """Serialized size in bytes of a (possibly nested) proof object:
-    byte strings count their length plus a 2-byte frame; lists add a
-    4-byte count; bare ints count as 32 bytes."""
-    if isinstance(proof, bytes):
-        return len(proof) + 2
-    if isinstance(proof, int):
+def _raw_length(node):
+    if isinstance(node, bytes):
+        return len(node) + 2
+    if isinstance(node, int):
         return 32
-    if isinstance(proof, (list, tuple)):
-        return sum(bin_length(x) for x in proof) + 4
-    raise TypeError(f"unsupported proof element {type(proof)}")
+    if isinstance(node, (list, tuple)):
+        return sum(_raw_length(x) for x in node) + 4
+    raise TypeError(f"unsupported proof element {type(node)}")
+
+
+def bin_length(proof):
+    """Serialized size in bytes of a proof object AFTER this module's
+    own compression (the reference reports sizes the same way:
+    `bin_length` over compress_fri/compress_branches output). Full
+    5-element STARK proofs get their branch lists and FRI rounds
+    compressed; anything else is sized structurally."""
+    if (isinstance(proof, (list, tuple)) and len(proof) == 5 and
+            isinstance(proof[0], bytes) and isinstance(proof[1], bytes)):
+        m_root, l_root, main_b, lc_b, fri = proof
+        return _raw_length([m_root, l_root,
+                            compress_branches(main_b),
+                            compress_branches(lc_b),
+                            compress_fri(fri)])
+    return _raw_length(proof)

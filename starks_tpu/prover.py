@@ -467,9 +467,13 @@ class _FusedSetup:
             barrier = jax.lax.optimization_barrier
 
             # 1. trace (sequential scan on device, SURVEY §4.1 step 1).
-            trace = fused.trace_scan(inp_l, cs_tiled)
+            # The barrier must come BEFORE any slice: a single unfenced
+            # edge out of the trace scan (e.g. output_l = trace[-1])
+            # reconnects the scan to the consumer graph and retriggers
+            # the pathological schedule (measured: 1224 ms vs 0.11 ms
+            # for the identical graph with the slice moved below).
+            trace = barrier(fused.trace_scan(inp_l, cs_tiled))
             output_l = trace[-1]
-            trace = barrier(trace)
 
             # 2-3. LDE.
             p = fused.lde_fused(trace, tw_inv_small, n_inv_small,
