@@ -360,10 +360,24 @@ class _FusedAIRSetup:
 
     @classmethod
     def get(cls, air: AIR, steps: int) -> "_FusedAIRSetup":
-        key = (id(air), steps)
+        # Keyed on AIR CONTENT, not object identity: the cached tables
+        # bake in the constant columns and boundary points, so mutating
+        # an AIR between prove calls must miss the cache (round-2
+        # advisor finding). Callables are keyed by identity — replacing
+        # step_fn/transition with new functions re-keys; mutating
+        # captured state inside one does not (document: treat AIRs as
+        # immutable, or call clear_cache()).
+        key = (id(air.step_fn), id(air.transition), air.width,
+               air.num_constraints,
+               tuple(tuple(col) for col in air.constants),
+               tuple(air.boundary_points(steps)), steps)
         if key not in cls._cache:
             cls._cache[key] = cls(air, steps)
         return cls._cache[key]
+
+    @classmethod
+    def clear_cache(cls):
+        cls._cache.clear()
 
     def core(self):
         if self._core is not None:

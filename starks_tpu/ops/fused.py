@@ -167,6 +167,62 @@ def lde_fused(trace, tw_inv_small, n_inv_small, tw_fwd_big):
     return ntt_dit(padded.reshape(precision, NL), tw_fwd_big)
 
 
+def _stage_twiddles(table, t: int, half: int):
+    """Stage-t Pease twiddles TW[j] = table[(j >> t) << t], j < half,
+    built from the FULL power table by a static strided slice +
+    broadcast — no [logn, n/2] stacked table. At the 2^23-point domain
+    the stacked table costs ~6 GB of HBM; this form keeps only the
+    [n, 16] power table (which the prover already holds as xs_big)."""
+    stride = 1 << t
+    sub = table[::stride][: half >> t] if t else table[:half]
+    return jnp.broadcast_to(sub[:, None], (half >> t, stride, NL)
+                            ).reshape(half, NL)
+
+
+def ntt_dif_strided(values, table):
+    """Constant-geometry DIF with per-stage strided twiddles (static
+    stage loop; same math/bits as ntt_dif over _stacked_twiddles(table),
+    cross-tested). [n,16] natural order -> bit-reversed order."""
+    n = values.shape[0]
+    logn = n.bit_length() - 1
+    x = values
+    for t in range(logn):
+        tw = _stage_twiddles(table, t, n // 2)
+        a, b = x[:n // 2], x[n // 2:]
+        u = fl.add(a, b)
+        v = fl.mul(fl.sub(a, b), tw)
+        x = jnp.stack([u, v], axis=1).reshape(n, NL)
+    return x
+
+
+def ntt_dit_strided(values, table):
+    """Transpose network with strided twiddles: bit-reversed -> natural
+    order (matches ntt_dit over _stacked_twiddles(table))."""
+    n = values.shape[0]
+    logn = n.bit_length() - 1
+    x = values
+    for t in range(logn - 1, -1, -1):
+        tw = _stage_twiddles(table, t, n // 2)
+        pairs = x.reshape(n // 2, 2, NL)
+        a, b = pairs[:, 0], pairs[:, 1]
+        wv = fl.mul(tw, b)
+        x = jnp.concatenate([fl.add(a, wv), fl.sub(a, wv)], axis=0)
+    return x
+
+
+def lde_strided(trace, inv_small_table, n_inv_small, fwd_big_table):
+    """lde_fused with strided-twiddle NTTs (memory-lean: needs only the
+    two power tables, one of which is the prover's xs_big)."""
+    steps = trace.shape[0]
+    precision = fwd_big_table.shape[0]
+    ext = precision // steps
+    coeffs_brev = ntt_dif_strided(trace, inv_small_table)
+    coeffs_brev = fl.mul(coeffs_brev, n_inv_small[None])
+    padded = jnp.zeros((steps, ext, NL), jnp.uint32)
+    padded = padded.at[:, 0, :].set(coeffs_brev)
+    return ntt_dit_strided(padded.reshape(precision, NL), fwd_big_table)
+
+
 # ---------------------------------------------------------------------------
 # Scan-structured Merkle tree
 # ---------------------------------------------------------------------------
@@ -431,16 +487,62 @@ def batch_inv_scan(v, rows: int = None):
 
 
 # ---------------------------------------------------------------------------
+# Packed limb transport (halves H2D bytes for host-generated traces)
+# ---------------------------------------------------------------------------
+
+def pack_limbs_np(limbs: np.ndarray) -> np.ndarray:
+    """[..., 16] u32 (u16 limbs) -> [..., 8] u32, 2 limbs per word
+    (limb 2j in the low half, 2j+1 in the high half)."""
+    return (limbs[..., 0::2] | (limbs[..., 1::2] << 16)).astype(np.uint32)
+
+
+def unpack_limbs(packed):
+    """Device-side inverse of pack_limbs_np: [..., 8] -> [..., 16]."""
+    lo = packed & jnp.uint32(0xFFFF)
+    hi = packed >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (16,))
+
+
+# ---------------------------------------------------------------------------
 # MiMC trace on device
 # ---------------------------------------------------------------------------
 
 def trace_scan(inp_limbs, constants_tiled):
     """[steps,16] MiMC trace from a [steps-1,16] tiled constant table:
-    x_{i+1} = x_i^3 + c_i (SURVEY §4.1 step 1). 8192 sequential steps
-    execute in ~0.8 ms on-device — no host trace or H2D transfer."""
+    x_{i+1} = x_i^3 + c_i (SURVEY §4.1 step 1).
+
+    MEASURED (round 3, fetch-forced): ~147 us PER DEPENDENT STEP on the
+    v5e (1.20 s at 2^13), independent of scan unroll — the cost is
+    dependent-chain latency, not loop machinery. Kept only as the
+    no-host-trace fallback; the default prover uses `expand_trace` over
+    host-computed checkpoints (K dependent steps instead of `steps`)."""
     def step(x, c):
         nx = fl.add(fl.cube(x), c)
         return nx, nx
 
     _, ys = jax.lax.scan(step, inp_limbs, constants_tiled)
     return jnp.concatenate([inp_limbs[None], ys], axis=0)
+
+
+def expand_trace(ckpts, consts_ks):
+    """Parallel MiMC trace expansion from checkpoints.
+
+    The trace recurrence is sequential, but only along each SEGMENT:
+    given every K-th state (host-computed by the native runtime,
+    native/starkrt.cpp :: starkrt_mimc_trace), the device regenerates
+    all segments simultaneously — K dependent rounds at full VPU width
+    instead of `steps` dependent rounds at width 16. With the measured
+    ~150 us/dependent-step latency floor this turns the 1.20 s device
+    trace at 2^13 into ~K*0.15 ms, and shrinks the H2D upload from
+    steps*32 B to (steps/K)*32 B (the tunnel moves ~25 MB/s).
+
+    ckpts: [S, 16] segment-start states (trace[s*K]).
+    consts_ks: [K, S, 16] with consts_ks[j, s] = c[(s*K + j) % n_c].
+    Returns [S*K, 16]: row s*K+j = trace state s*K+j.
+    """
+    def step(x, c):
+        nx = fl.add(fl.cube(x), c)
+        return nx, x
+
+    _, ys = jax.lax.scan(step, ckpts, consts_ks)     # [K, S, 16]
+    return jnp.moveaxis(ys, 0, 1).reshape(-1, NL)

@@ -217,11 +217,15 @@ def mk_mimc_proof(inp: int, steps: int, round_constants, mesh=None,
 
 def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
                              mesh=None, config: StarkConfig = REFERENCE):
-    """Proof from a precomputed trace (e.g. the batched device scan in
-    parallel/batch.py, amortizing the sequential-trace Amdahl limit).
-    `trace` is a list of ints or a [steps, 16] uint32 limb array."""
+    """Proof from a precomputed trace. `trace` is a list of ints or a
+    [steps, 16] uint32 limb array. Single-chip (mesh=None) runs the
+    fused one-dispatch core fed by trace checkpoints; with a mesh the
+    staged sharded path below runs (four-step NTTs over ICI)."""
     if isinstance(trace, list):
         trace = ints_to_limbs(trace)
+    if mesh is None:
+        return _prove_from_trace_fused(np.asarray(trace), steps,
+                                       round_constants, config)
     ext = config.extension_factor
     assert steps <= 2**32 // ext
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
@@ -390,6 +394,13 @@ class _FusedSetup:
             pow(G2, precision // 4, MODULUS)))
         self.inv4_l = jnp.asarray(int_to_limbs(hf.inv(4)))
 
+        # Checkpoint stride for host-trace feeding (see traced_core):
+        # K dependent on-device rounds regenerate each segment; the H2D
+        # upload is steps/K states. K=64 balances the ~150us/step
+        # dependent-latency floor against the ~25 MB/s tunnel.
+        self.trace_K = min(64, steps)
+        self.n_ckpt = steps // self.trace_K
+
         # 1/Z2 where Z2(x) = (x-1)(x-last): a PURE CONSTANT of the
         # config (independent of inp/output), so the per-proof
         # batch-inversion the staged path ran in-graph is hoisted to a
@@ -426,6 +437,23 @@ class _FusedSetup:
             cls._cache[key] = cls(steps, config)
         return cls._cache[key]
 
+    def expand_consts(self, round_constants):
+        """[K, S, 16] device table for fused.expand_trace:
+        entry [j, s] = c[(s*K + j) % n_c]. Depends only on the constant
+        list (not the input), cached per list like k_ext_limbs."""
+        key = tuple(round_constants)
+        cache = getattr(self, "_expc_cache", None)
+        if cache is None:
+            cache = self._expc_cache = {}
+        if key not in cache:
+            K, S = self.trace_K, self.n_ckpt
+            n_c = len(round_constants)
+            cs = np.asarray(ints_to_limbs(
+                [c % MODULUS for c in round_constants]))
+            idx = (np.arange(S)[None, :] * K + np.arange(K)[:, None]) % n_c
+            cache[key] = jnp.asarray(cs[idx])
+        return cache[key]
+
     def k_ext_limbs(self, round_constants):
         """Round-constant mini-polynomial extension K over the 8x domain
         (SURVEY §4.1 step 4) — tiny host NTT, cached per constant list."""
@@ -455,24 +483,17 @@ class _FusedSetup:
         cfg = self.config
         n_final = self.n_final
 
-        def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
-                    last_l, one_l, xs_big, tw_inv_small, n_inv_small,
-                    tw_fwd_big, fri_inv_pows, eta_l, inv4_l, inv_z2):
+        def post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
+                          last_l, one_l, xs_big, tw_inv_small,
+                          n_inv_small, tw_fwd_big, fri_inv_pows, eta_l,
+                          inv4_l, inv_z2):
             # Stage seams are fenced with optimization_barrier: XLA's
-            # scheduler otherwise fuses the sequential trace scan into
-            # the NTT scan's context, compiling a graph ~20,000x slower
-            # (measured 1208 ms vs 0.06 ms for trace+LDE at 2^13 on the
-            # v5e chip, identical outputs). Barriers pin each scan-
-            # structured stage as its own schedulable unit.
+            # scheduler otherwise fuses scan-structured stages into one
+            # another's contexts, compiling pathologically slow graphs.
+            # Barriers pin each scan-structured stage as its own
+            # schedulable unit.
             barrier = jax.lax.optimization_barrier
-
-            # 1. trace (sequential scan on device, SURVEY §4.1 step 1).
-            # The barrier must come BEFORE any slice: a single unfenced
-            # edge out of the trace scan (e.g. output_l = trace[-1])
-            # reconnects the scan to the consumer graph and retriggers
-            # the pathological schedule (measured: 1224 ms vs 0.11 ms
-            # for the identical graph with the slice moved below).
-            trace = barrier(fused.trace_scan(inp_l, cs_tiled))
+            inp_l = trace[0]
             output_l = trace[-1]
 
             # 2-3. LDE.
@@ -542,9 +563,58 @@ class _FusedSetup:
                      col_bundles, row_bundles, base_words]
             return jnp.concatenate([x.reshape(-1) for x in parts])
 
+        def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
+                    last_l, one_l, xs_big, tw_inv_small, n_inv_small,
+                    tw_fwd_big, fri_inv_pows, eta_l, inv4_l, inv_z2):
+            # 1. trace (sequential scan on device, SURVEY §4.1 step 1).
+            # The barrier must come BEFORE any slice: a single unfenced
+            # edge out of the trace scan (e.g. output_l = trace[-1])
+            # reconnects the scan to the consumer graph and retriggers
+            # a pathological schedule. NOTE round-3 measurement: the
+            # device scan costs ~147 us PER DEPENDENT STEP regardless of
+            # unrolling (1.20 s at 2^13) — the default prover therefore
+            # feeds a HOST-generated trace to `traced_core` instead; this
+            # all-device form remains for environments with no host trace.
+            barrier = jax.lax.optimization_barrier
+            trace = barrier(fused.trace_scan(inp_l, cs_tiled))
+            return post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
+                                 last_l, one_l, xs_big, tw_inv_small,
+                                 n_inv_small, tw_fwd_big, fri_inv_pows,
+                                 eta_l, inv4_l, inv_z2)
+
+        def traced_core_fn(ckpt_packed, cs_expand, k_ext, zni8, h_pows,
+                           islope_l, last_l, one_l, xs_big, tw_inv_small,
+                           n_inv_small, tw_fwd_big, fri_inv_pows, eta_l,
+                           inv4_l, inv_z2):
+            # Host-trace entry: every K-th trace state crosses H2D
+            # (packed 2 u16 limbs per u32 word, [steps/K, 8]); the
+            # intermediate rounds regenerate on device in parallel
+            # across segments (fused.expand_trace — K dependent steps
+            # instead of `steps`).
+            barrier = jax.lax.optimization_barrier
+            ckpts = fused.unpack_limbs(ckpt_packed)
+            trace = barrier(fused.expand_trace(ckpts, cs_expand))
+            return post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
+                                 last_l, one_l, xs_big, tw_inv_small,
+                                 n_inv_small, tw_fwd_big, fri_inv_pows,
+                                 eta_l, inv4_l, inv_z2)
+
+        self._post_trace_fn = post_trace_fn
+        self._traced_core_fn = traced_core_fn
         self._core_fn = core_fn
         self._core = jax.jit(core_fn)
         return self._core
+
+    def traced_core(self):
+        """Jitted proof core taking a PACKED host trace ([steps, 8]
+        uint32, 2 limbs/word) instead of running the sequential MiMC
+        scan on device — the round-3 headline change: the device pays
+        ~147 us per dependent step (1.2 s at 2^13, 94% of prove time),
+        while the native C++ trace (native/starkrt.cpp) takes ~2 ms."""
+        if getattr(self, "_traced_core", None) is None:
+            self.core()
+            self._traced_core = jax.jit(self._traced_core_fn)
+        return self._traced_core
 
     def batch_core(self):
         """vmap of the one-dispatch core over the INPUT axis: B proofs
@@ -558,16 +628,44 @@ class _FusedSetup:
         self._batch_core = jax.jit(jax.vmap(self._core_fn, in_axes=axes))
         return self._batch_core
 
+    def batch_traced_core(self):
+        """vmap of the host-trace core over the checkpoint axis: B
+        proofs per dispatch from B host traces. The expansion-constant
+        table and all plan operands broadcast."""
+        if getattr(self, "_batch_traced_core", None) is not None:
+            return self._batch_traced_core
+        self.core()
+        axes = (0,) + (None,) * 15
+        self._batch_traced_core = jax.jit(
+            jax.vmap(self._traced_core_fn, in_axes=axes))
+        return self._batch_traced_core
+
 
 def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
-                        config: StarkConfig = REFERENCE):
-    """One-dispatch fused prover: the whole post-input proof is a single
+                        config: StarkConfig = REFERENCE,
+                        device_trace: bool = False):
+    """One-dispatch fused prover: the whole post-trace proof is a single
     jitted graph and a single bulk device->host transfer. Transcript
     bytes identical to the staged path and the reference spec
-    (tests/test_fused.py, tests/test_prover.py)."""
+    (tests/test_fused.py, tests/test_prover.py).
+
+    The trace is generated on host (native C++ runtime when available)
+    and fed as packed checkpoints; the device regenerates segments in
+    parallel (fused.expand_trace). Measured round 3: the all-device
+    sequential scan costs ~147 us per dependent step (1.20 s at 2^13 =
+    94% of prove time), so `device_trace=True` exists only as the
+    no-host fallback."""
     assert steps <= 2**32 // config.extension_factor
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
     assert len(round_constants) < steps
+
+    if not device_trace:
+        import time
+        t0 = time.perf_counter()
+        trace = mimc_model.trace_limbs(inp, steps, round_constants)
+        return _prove_from_trace_fused(np.asarray(trace), steps,
+                                       round_constants, config,
+                                       _trace_s=time.perf_counter() - t0)
 
     timer = _StageTimer(f"prove steps={steps} (fused)")
     su = _FusedSetup.get(steps, config)
@@ -597,14 +695,59 @@ def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
     return proof
 
 
+def _trace_ckpts_packed(trace_np: np.ndarray, su: "_FusedSetup"):
+    """Packed [S, 8] checkpoint upload payload from a host [steps, 16]
+    limb trace: every K-th state, 2 limbs per u32 word."""
+    from .ops import fused
+    return fused.pack_limbs_np(trace_np[::su.trace_K])
+
+
+def _prove_from_trace_fused(trace_np: np.ndarray, steps: int,
+                            round_constants,
+                            config: StarkConfig = REFERENCE,
+                            _trace_s: float = None):
+    """Fused one-dispatch proof from a host-computed [steps, 16] trace."""
+    timer = _StageTimer(f"prove steps={steps} (fused, host trace)")
+    if _trace_s is not None:
+        timer.stages["host trace (native)"] = _trace_s
+    su = _FusedSetup.get(steps, config)
+    plan = su.plan
+    k_ext = su.k_ext_limbs(round_constants)
+    cs_expand = su.expand_consts(round_constants)
+    ckpts = jnp.asarray(_trace_ckpts_packed(trace_np, su))
+    timer.mark("setup")
+
+    flat = su.traced_core()(ckpts, cs_expand, k_ext, su.zni8, su.h_pows,
+                            su.islope_l, su.last_l, su.one_l, plan.xs_big,
+                            plan.tw_inv_small, plan.n_inv_small,
+                            plan.tw_fwd_big, plan.fri_inv_pows, su.eta_l,
+                            su.inv4_l, su.inv_z2)
+    timer.mark("dispatch")
+    flat_np = np.asarray(flat)
+    timer.mark("device compute + transfer")
+
+    proof = _decode_fused(flat_np, su)
+    timer.mark("proof assembly")
+    LAST_PROOF_TIMINGS.clear()
+    LAST_PROOF_TIMINGS.update(timer.stages)
+    LAST_PROOF_TIMINGS["total"] = timer.total()
+    return proof
+
+
 def mk_mimc_proof_batch_fused(inps, steps: int, round_constants,
                               config: StarkConfig = REFERENCE,
-                              chunk: int = None):
+                              chunk: int = None, traces=None):
     """Batch-prove independent MiMC claims with the vmapped fused core:
     each chunk of proofs is ONE device dispatch and ONE bulk transfer.
     Proof objects are bit-identical to `mk_mimc_proof` per claim
     (tests/test_fused.py). `chunk` bounds device live memory (~0.5 GB
-    per 2^16-step proof in flight); default 16."""
+    per 2^16-step proof in flight); default 16.
+
+    Traces come from the host (native runtime; pass `traces` — a list
+    of [steps, 16] limb arrays — to reuse precomputed ones). Host and
+    device are OVERLAPPED (SURVEY §3.2 PP): chunk i+1's trace packing +
+    dispatch happen before chunk i's bulk fetch, so the device computes
+    chunk i+1 while the host decodes chunk i's proofs."""
     assert is_a_power_of_2(steps) and is_a_power_of_2(len(round_constants))
     assert len(round_constants) < steps
 
@@ -612,24 +755,33 @@ def mk_mimc_proof_batch_fused(inps, steps: int, round_constants,
     plan = su.plan
     if chunk is None:
         chunk = 16
-    reps = (steps - 1 + len(round_constants) - 1) // len(round_constants)
-    cs_np = np.asarray(ints_to_limbs(
-        [c % MODULUS for c in round_constants]))
-    cs_tiled = jnp.asarray(np.tile(cs_np, (reps, 1))[:steps - 1])
     k_ext = su.k_ext_limbs(round_constants)
-    core = su.batch_core()
+    cs_expand = su.expand_consts(round_constants)
+    core = su.batch_traced_core()
 
-    proofs = []
-    for lo in range(0, len(inps), chunk):
-        part = inps[lo:lo + chunk]
-        inp_ls = jnp.asarray(ints_to_limbs([i % MODULUS for i in part]))
-        flat = core(inp_ls, cs_tiled, k_ext, su.zni8, su.h_pows,
+    def dispatch(part_lo):
+        lo, part = part_lo
+        ck = []
+        for i, inp in enumerate(part):
+            t = (traces[lo + i] if traces is not None else
+                 mimc_model.trace_limbs(inp, steps, round_constants))
+            ck.append(_trace_ckpts_packed(np.asarray(t), su))
+        ckpts = jnp.asarray(np.stack(ck))
+        return core(ckpts, cs_expand, k_ext, su.zni8, su.h_pows,
                     su.islope_l, su.last_l, su.one_l, plan.xs_big,
                     plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
                     plan.fri_inv_pows, su.eta_l, su.inv4_l, su.inv_z2)
-        flat_np = np.asarray(flat)       # one bulk D2H per chunk
-        for b in range(len(part)):
+
+    chunks = [(lo, inps[lo:lo + chunk])
+              for lo in range(0, len(inps), chunk)]
+    proofs = []
+    in_flight = dispatch(chunks[0]) if chunks else None
+    for ci in range(len(chunks)):
+        nxt = dispatch(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+        flat_np = np.asarray(in_flight)  # one bulk D2H per chunk
+        for b in range(len(chunks[ci][1])):
             proofs.append(_decode_fused(flat_np[b], su))
+        in_flight = nxt
     return proofs
 
 

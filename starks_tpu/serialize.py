@@ -38,6 +38,7 @@ from .transcript import blake, pseudorandom_indices
 
 _MAGIC_V1 = b'STPU\x01'
 _MAGIC_V2 = b'STPU\x02'
+_MAGIC_V3 = b'STPU\x03'   # v2 + explicit augmented-offset (ext) byte
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +110,7 @@ class _Layout:
     the shape ints travel on the wire."""
 
     def __init__(self, shape, m_root, l_root, col_roots,
-                 exclude_multiples_of):
+                 exclude_multiples_of, extension_factor=None):
         (self.spot_checks, self.main_depth, self.fri_meta,
          self.n_final) = shape
         precision = 1 << self.main_depth
@@ -118,9 +119,11 @@ class _Layout:
 
         positions = pseudorandom_indices(
             l_root, precision, self.spot_checks, exclude_multiples_of=ex)
-        # The augmented partner offset equals the extension factor, which
-        # the canonical transcript also uses as the FS exclusion period.
-        ext = ex if ex else 8
+        # Augmented partner offset = the config's extension factor. In
+        # the canonical transcript it equals the FS exclusion period;
+        # the v3 header carries it explicitly so non-default configs
+        # decode correctly (and serialize() self-checks regardless).
+        ext = extension_factor if extension_factor else (ex if ex else 8)
         aug = []
         for p in positions:
             aug += [p, (p + ext) % precision]
@@ -212,22 +215,53 @@ def _flatten(proof):
     return out
 
 
-def serialize(proof, exclude_multiples_of: int = 8) -> bytes:
-    """v2 pruned encoding (see module docstring)."""
+def _proof_eq(a, b):
+    if isinstance(a, bytes) or isinstance(b, bytes):
+        return a == b
+    if len(a) != len(b):
+        return False
+    return all(_proof_eq(x, y) for x, y in zip(a, b))
+
+
+def serialize(proof, exclude_multiples_of: int = 8,
+              extension_factor: int = None) -> bytes:
+    """Canonical proof encoding. Tries the transcript-pruned v3 codec
+    and SELF-CHECKS it (decode-and-compare): pruning relies on a
+    Fiat-Shamir replay that silently diverges if the caller's
+    exclude_multiples_of / extension_factor don't match the proof's
+    actual transcript, so any mismatch — or any non-MiMC proof shape
+    (e.g. AIR 6-element objects) — falls back to the structural v1
+    codec, which encodes arbitrary nested bytes objects. Round-trip
+    identity therefore holds for EVERY input."""
+    try:
+        data = _serialize_pruned(proof, exclude_multiples_of,
+                                 extension_factor)
+        if _proof_eq(deserialize(data), proof):
+            return data
+    except Exception:
+        pass
+    return serialize_v1(proof)
+
+
+def _serialize_pruned(proof, exclude_multiples_of: int,
+                      extension_factor: int = None) -> bytes:
+    """v3 pruned encoding (see module docstring)."""
     m_root, l_root, main_branches, lc_branches, fri_proof = proof
     shape = _proof_shape(proof)
     col_roots = [comp[0] for comp in fri_proof[:-1]]
+    ext = (extension_factor if extension_factor
+           else (exclude_multiples_of if exclude_multiples_of else 8))
     layout = _Layout(shape, m_root, l_root, col_roots,
-                     exclude_multiples_of)
+                     exclude_multiples_of, ext)
     strings = _flatten(proof)
     assert len(strings) == len(layout.slots), \
         (len(strings), len(layout.slots))
 
     derivable = layout.derivable()
     spot, main_depth, fri_meta, n_final = shape
-    head = [_MAGIC_V2,
+    head = [_MAGIC_V3,
             struct.pack('>HBBH', spot, main_depth, len(fri_meta), n_final),
-            bytes([exclude_multiples_of]),
+            bytes([exclude_multiples_of]), bytes([ext]),
             b''.join(struct.pack('>H', q) for q in fri_meta)]
 
     # Tag stream: 2 bits/slot (0=skip, 1=raw, 2=ref), then payload.
@@ -264,13 +298,19 @@ def serialize(proof, exclude_multiples_of: int = 8) -> bytes:
 def deserialize(data: bytes):
     if data[:5] == _MAGIC_V1:
         return _deserialize_v1(data)
-    assert data[:5] == _MAGIC_V2, "bad proof header"
+    assert data[:5] in (_MAGIC_V2, _MAGIC_V3), "bad proof header"
+    is_v3 = data[:5] == _MAGIC_V3
     off = 5
     spot, main_depth, n_rounds, n_final = struct.unpack_from('>HBBH',
                                                              data, off)
     off += 6
     ex = data[off]
     off += 1
+    if is_v3:
+        ext = data[off]
+        off += 1
+    else:
+        ext = ex if ex else 8
     fri_meta = [struct.unpack_from('>H', data, off + 2 * i)[0]
                 for i in range(n_rounds)]
     off += 2 * n_rounds
@@ -338,7 +378,7 @@ def deserialize(data: bytes):
         col_roots.append(values[idx])
         idx += 1 + fri_meta[r] * ((depth + 1) + 4 * (depth + 3))
         depth -= 2
-    layout = _Layout(shape, m_root, l_root, col_roots, ex)
+    layout = _Layout(shape, m_root, l_root, col_roots, ex, ext)
     assert len(layout.slots) == n_tags
 
     # Resolve skipped nodes: full bottom-up closure per tree — compute

@@ -51,6 +51,27 @@ class TestSerialize:
         with pytest.raises((AssertionError, ValueError, IndexError)):
             ser.deserialize(blob[:-7])
 
+    def test_nondefault_exclusion_roundtrips(self):
+        # Round-2 advisor repro: a transcript whose FS exclusion period
+        # differs from the codec default used to round-trip to a
+        # DIFFERENT proof silently. The self-check in serialize() must
+        # make every such case round-trip exactly (pruned if the replay
+        # matches, v1 fallback otherwise).
+        proof = _tiny_proof()
+        for ex in (0, 4):
+            blob = ser.serialize(proof, exclude_multiples_of=ex)
+            assert _deep_eq(ser.deserialize(blob), proof), ex
+
+    def test_non_mimc_shape_roundtrips(self):
+        # AIR proofs carry 6 elements (regression: v2 raised 'too many
+        # values to unpack' and propagated to ProofStore/bin_length).
+        air_like = [b'\x01' * 32, b'\x02' * 32, [[b'\x03' * 96] * 3],
+                    [[b'\x04' * 32] * 2], [[b'\x05' * 32, []]],
+                    b'\x06' * 32]
+        blob = ser.serialize(air_like)
+        assert _deep_eq(ser.deserialize(blob), air_like)
+        assert ser.bin_length(air_like) == len(blob)
+
     def test_verifies_after_roundtrip(self):
         import oracle.stark as ostark
         from oracle.mimc import mimc
