@@ -77,21 +77,34 @@ class FusedPlan:
 
     _cache = {}
 
+    # Above this domain size the stacked [logn, n/2] twiddle tables are
+    # replaced by per-stage strided slices of the plain power tables
+    # (ntt_*_strided): at 2^23 points the stacked form costs ~6 GB of
+    # HBM vs 0 extra (the forward table IS xs_big). Measured cost at
+    # 2^20: strided is ~20% slower per transform — the memory trade is
+    # what makes the 2^20-steps config fit on one chip at all.
+    STRIDED_THRESHOLD = 2 ** 21
+
     def __init__(self, steps: int, precision: int, G1: int, G2: int,
                  fri_rounds: int):
         self.steps = steps
         self.precision = precision
+        self.strided = precision >= self.STRIDED_THRESHOLD
         fwd_small = _power_table_np(G1, steps)
         fwd_big = _power_table_np(G2, precision)
         inv_small = np.concatenate([fwd_small[:1], fwd_small[:0:-1]], axis=0)
 
         # iNTT over the trace domain (DIF, inverse twiddles) and forward
         # NTT over the evaluation domain (DIT, forward twiddles).
-        self.tw_inv_small = jnp.asarray(_stacked_twiddles(inv_small))
-        self.tw_fwd_big = jnp.asarray(_stacked_twiddles(fwd_big))
+        self.xs_big = jnp.asarray(fwd_big)          # [N,16] powers of G2
+        if self.strided:
+            self.tw_inv_small = jnp.asarray(inv_small)
+            self.tw_fwd_big = self.xs_big
+        else:
+            self.tw_inv_small = jnp.asarray(_stacked_twiddles(inv_small))
+            self.tw_fwd_big = jnp.asarray(_stacked_twiddles(fwd_big))
         self.n_inv_small = jnp.asarray(_int_limbs(
             pow(steps, fl.MODULUS - 2, fl.MODULUS)))
-        self.xs_big = jnp.asarray(fwd_big)          # [N,16] powers of G2
 
         # Per-FRI-round u-tables: g_r^{-i} for g_r = G2^(4^r), i < N/4.
         inv_big = np.concatenate([fwd_big[:1], fwd_big[:0:-1]], axis=0)

@@ -101,12 +101,39 @@ def neg(a):
     return sub(jnp.broadcast_to(jnp.asarray(ZERO), a.shape), a)
 
 
+# Memory-lean tracing mode (see enable_lean_mul): when True, _mul_wide
+# threads its accumulator through optimization_barriers so the XLA
+# scheduler cannot co-materialize all 16 partial-product arrays. At the
+# 2^23-point domain the default schedule keeps ~17 [N,16..32] temps
+# live simultaneously (measured: 21.1 GB HBM demand, OOM); the barrier
+# chain bounds the live set at ~3 temps. Costs some fusion freedom —
+# only enabled for big-domain cores (prover._FusedSetup, plan.strided).
+LEAN_MUL = False
+
+
+class enable_lean_mul:
+    """Context manager: trace mul() in the memory-lean form."""
+
+    def __init__(self, on: bool = True):
+        self.on = on
+
+    def __enter__(self):
+        global LEAN_MUL
+        self.prev = LEAN_MUL
+        LEAN_MUL = self.on
+
+    def __exit__(self, *exc):
+        global LEAN_MUL
+        LEAN_MUL = self.prev
+
+
 def _mul_wide(a, b):
     """Schoolbook 16x16 -> 32-limb (512-bit) product, canonical limbs.
 
     Shifted accumulation keeps the working set at [batch, 32] (no
     [batch,16,16] materialization); column sums < 2^21 fit uint32.
     """
+    lean = LEAN_MUL
     acc = None
     for i in range(NUM_LIMBS):
         part = a[..., i:i + 1] * b          # exact in uint32
@@ -115,6 +142,10 @@ def _mul_wide(a, b):
         hi = jnp.pad(part >> LIMB_BITS, pad + [(i + 1, NUM_LIMBS - 1 - i)])
         contrib = lo + hi
         acc = contrib if acc is None else acc + contrib
+        if lean:
+            # Sequence iteration i+1 strictly after acc_i (the a/b
+            # round-trip through the barrier is what orders the pads).
+            acc, a, b = jax.lax.optimization_barrier((acc, a, b))
     limbs, _ = _propagate(acc)
     return limbs
 

@@ -116,13 +116,21 @@ class MerkleTree:
         k, total = bundle_np.shape
         w = leaf_width_words
         n_levels = (total - 2 * w) // 8
+        # ONE numpy->bytes conversion for the whole bundle, then cheap
+        # bytes slicing (a per-cell tobytes() loop cost ~30 ms of the
+        # proof assembly at 2^13; this form is ~1 ms).
+        buf = np.ascontiguousarray(bundle_np).astype('<u4',
+                                                     copy=False).tobytes()
+        row_b = 4 * total
         out = []
-        for row in bundle_np:
-            branch = [digest_words_to_bytes(row[:w]),
-                      digest_words_to_bytes(row[w:2 * w])]
-            for L in range(n_levels):
-                branch.append(digest_words_to_bytes(
-                    row[2 * w + 8 * L: 2 * w + 8 * (L + 1)]))
+        for r in range(k):
+            base = r * row_b
+            branch = [buf[base:base + 4 * w],
+                      buf[base + 4 * w:base + 8 * w]]
+            off = base + 8 * w
+            for _ in range(n_levels):
+                branch.append(buf[off:off + 32])
+                off += 32
             out.append(branch)
         return out
 

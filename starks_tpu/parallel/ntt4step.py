@@ -141,6 +141,15 @@ def fourstep_ntt_shmap(values, plan: FourStepPlan, inverse: bool = False):
     s = mesh.shape["shard"]
     NL = fl.NUM_LIMBS
     tw_table = plan.twiddle(inverse)
+    # Materialize the lazy domain caches EAGERLY: first touch inside the
+    # shard_map trace would cache tracers (UnexpectedTracerError on the
+    # next call — hit by scripts/scaling_ntt.py, where this entry point
+    # runs before any eager NTT has warmed the caches).
+    for dom in (plan.dom1, plan.dom2):
+        dom.brev
+        dom.stage_twiddles(inverse)
+        if inverse:
+            dom.n_inv_limbs
 
     def body(vals_l, tw_l):
         a = vals_l.reshape(n1 // s, n2, NL)

@@ -405,11 +405,23 @@ class _FusedSetup:
         # config (independent of inp/output), so the per-proof
         # batch-inversion the staged path ran in-graph is hoisted to a
         # one-time device computation here (cached with the setup).
+        # Chunked: the blocked batch-inversion materializes ~6x its
+        # input in HLO temps (prefix/suffix stacks), which OOMs HBM at
+        # the 2^23-point domain in one piece (measured: 17.1 GB).
         from .ops import fused as _fused
-        xs = self.plan.xs_big
-        z2 = fl.mul(fl.sub(xs, self.one_l[None]),
-                    fl.sub(xs, self.last_l[None]))
-        self.inv_z2 = jax.jit(_fused.batch_inv_scan)(z2)
+
+        @jax.jit
+        def _invz2_chunk(xs_c, one_l, last_l):
+            z2 = fl.mul(fl.sub(xs_c, one_l[None]),
+                        fl.sub(xs_c, last_l[None]))
+            return _fused.batch_inv_scan(z2)
+
+        CH = min(precision, 1 << 20)
+        parts = [_invz2_chunk(self.plan.xs_big[lo:lo + CH], self.one_l,
+                              self.last_l)
+                 for lo in range(0, precision, CH)]
+        self.inv_z2 = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts)
 
         # Output-vector layout (static widths, host decode).
         self.Wm = 2 * 24 + 8 * (self.logn - 1)
@@ -496,9 +508,14 @@ class _FusedSetup:
             inp_l = trace[0]
             output_l = trace[-1]
 
-            # 2-3. LDE.
-            p = fused.lde_fused(trace, tw_inv_small, n_inv_small,
-                                tw_fwd_big)
+            # 2-3. LDE (strided-twiddle form above FusedPlan's memory
+            # threshold; bit-identical, tested).
+            if self.plan.strided:
+                p = fused.lde_strided(trace, tw_inv_small, n_inv_small,
+                                      tw_fwd_big)
+            else:
+                p = fused.lde_fused(trace, tw_inv_small, n_inv_small,
+                                    tw_fwd_big)
             p = barrier(p)
 
             # 5-7. Constraint / quotient / boundary (steps 5-7): all
@@ -592,12 +609,14 @@ class _FusedSetup:
             # across segments (fused.expand_trace — K dependent steps
             # instead of `steps`).
             barrier = jax.lax.optimization_barrier
-            ckpts = fused.unpack_limbs(ckpt_packed)
-            trace = barrier(fused.expand_trace(ckpts, cs_expand))
-            return post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
-                                 last_l, one_l, xs_big, tw_inv_small,
-                                 n_inv_small, tw_fwd_big, fri_inv_pows,
-                                 eta_l, inv4_l, inv_z2)
+            with fl.enable_lean_mul(self.plan.strided):
+                ckpts = fused.unpack_limbs(ckpt_packed)
+                trace = barrier(fused.expand_trace(ckpts, cs_expand))
+                return post_trace_fn(trace, k_ext, zni8, h_pows,
+                                     islope_l, last_l, one_l, xs_big,
+                                     tw_inv_small, n_inv_small,
+                                     tw_fwd_big, fri_inv_pows, eta_l,
+                                     inv4_l, inv_z2)
 
         self._post_trace_fn = post_trace_fn
         self._traced_core_fn = traced_core_fn
