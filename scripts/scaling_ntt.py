@@ -1,18 +1,25 @@
 """Scaling-efficiency harness for the sharded four-step NTT.
 
-SURVEY §8 hard part #3 / BASELINE.md row "NTT scaling efficiency":
-runs `fourstep_ntt_shmap` at 1/2/4/8 devices on a virtual CPU mesh
-(each device count in a fresh interpreter — the forced host-device
-count is fixed at backend init), times the jitted program, accounts the
-collective bytes analytically (the schedule is explicit: exactly 3
-all-to-alls, each moving N*64B*(s-1)/s across devices), and writes the
-efficiency curve to SCALING.json.
+SURVEY §8 hard part #3 / BASELINE.md row "NTT scaling efficiency".
 
-A CPU mesh measures the SCHEDULE (local compute shrinks as 1/s, fixed
-collective count), not ICI: virtual-device collectives are memcpys, so
-the curve here is an upper bound on software overhead, while the ICI
-roofline column states the modeled wire time on a real v5p slice
-(ICI ~ 100 GB/s/link bidirectional).
+What can honestly be measured HERE: this container has ONE TPU chip
+and a 2-core host, so the virtual 8-device CPU mesh can verify the
+SCHEDULE (exactly 3 all-to-alls — pinned by test — and bit-exactness)
+and measure per-shard LOCAL compute shrinking with shard count, but
+aggregate wall-clock CANNOT show speedup: all virtual devices share
+the same 2 cores (aggregate compute is constant), so the naive
+efficiency column is an artifact of host oversubscription, NOT of the
+design. The report therefore carries three things:
+
+1. measured wall time per device count on the virtual mesh (schedule
+   overhead sanity, with the 2-core caveat recorded in-row);
+2. measured LOCAL-compute scaling: single-device four-step NTT at
+   n/s points — the per-shard work a real chip would run;
+3. a modeled v5p efficiency: local compute at the MEASURED on-chip
+   NTT rate (bench_details ntt_2e20) + all-to-all wire time over ICI
+   (3 rounds, n*64B*(s-1)/s total, ~100 GB/s/link) — the quantity the
+   >=70% target is about. The NTT at our limb rates is strongly
+   compute-bound, so modeled efficiency stays >95% through 8 shards.
 
 Run: python scripts/scaling_ntt.py [log2_n] (default 16)
 """
@@ -25,6 +32,7 @@ import time
 
 LOG2N_DEFAULT = 16
 ICI_BYTES_PER_S = 100e9
+CHIP_NTT_POINTS_PER_S = 5.0e6    # measured: bench_details ntt_2e20
 
 
 def child(n_devices: int, log2n: int):
@@ -55,37 +63,73 @@ def child(n_devices: int, log2n: int):
         t0 = time.time()
         ntt4step.fourstep_ntt_shmap(vals, plan).block_until_ready()
         best = min(best, time.time() - t0)
-    print(json.dumps({"devices": n_devices, "time_s": best}))
+
+    # Per-shard LOCAL compute: the same four-step at n/s points on the
+    # single-device mesh view (what one real chip would execute).
+    n_loc = n // n_devices
+    g_loc = pow(7, (fl.MODULUS - 1) // n_loc, fl.MODULUS)
+    mesh1 = make_mesh(n_shard=1)
+    plan1 = ntt4step.get_plan(n_loc, g_loc, mesh1)
+    vals1 = vals[:n_loc]
+    ntt4step.fourstep_ntt_shmap(vals1, plan1).block_until_ready()
+    best_loc = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        ntt4step.fourstep_ntt_shmap(vals1, plan1).block_until_ready()
+        best_loc = min(best_loc, time.time() - t0)
+    print(json.dumps({"devices": n_devices, "time_s": best,
+                      "local_share_time_s": best_loc}))
 
 
 def main():
     log2n = int(sys.argv[1]) if len(sys.argv) > 1 else LOG2N_DEFAULT
     rows = []
     for d in (1, 2, 4, 8):
-        env = dict(os.environ, STARKS_SCALING_CHILD=str(d))
         r = subprocess.run(
             [sys.executable, __file__, str(log2n), f"--child={d}"],
-            capture_output=True, text=True, timeout=3600, env=env)
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        rows.append(json.loads(line))
-        print(line, flush=True)
+            capture_output=True, text=True, timeout=3600)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print(r.stdout[-2000:], r.stderr[-2000:])
+            raise SystemExit(f"child {d} produced no result")
+        rows.append(json.loads(lines[-1]))
+        print(lines[-1], flush=True)
 
     n = 1 << log2n
     t1 = rows[0]["time_s"]
-    report = {"n_points": n, "rows": []}
+    host_cores = os.cpu_count()
+    report = {
+        "n_points": n,
+        "host_cores": host_cores,
+        "measurement_caveat": (
+            "virtual CPU devices share one {}-core host: aggregate "
+            "wall-clock cannot exceed ~1x regardless of shard count; "
+            "wall columns verify the schedule, local_share columns "
+            "measure per-shard work, modeled_* columns state the ICI "
+            "roofline the >=70% target refers to".format(host_cores)),
+        "chip_ntt_points_per_s": CHIP_NTT_POINTS_PER_S,
+        "ici_bytes_per_s": ICI_BYTES_PER_S,
+        "rows": [],
+    }
     for row in rows:
         s = row["devices"]
-        eff = t1 / (s * row["time_s"]) if s > 1 else 1.0
         a2a_bytes = 0 if s == 1 else 3 * n * 64 * (s - 1) // s
+        # Modeled on-chip numbers: local two-pass NTT work at n/s
+        # points per chip at the measured single-chip rate + wire time.
+        local_model_s = (2.0 * (n / s)) / CHIP_NTT_POINTS_PER_S
+        wire_s = (a2a_bytes / s) / ICI_BYTES_PER_S
+        t_model = local_model_s + wire_s
+        t_model_1 = 2.0 * n / CHIP_NTT_POINTS_PER_S
         report["rows"].append({
             "devices": s,
-            "time_s": row["time_s"],
-            "speedup": t1 / row["time_s"],
-            "efficiency": eff,
+            "wall_time_s": row["time_s"],
+            "local_share_time_s": row["local_share_time_s"],
+            "local_share_speedup": (rows[0]["local_share_time_s"]
+                                    / row["local_share_time_s"]),
             "collective_count": 0 if s == 1 else 3,
             "collective_bytes_total": a2a_bytes,
-            "ici_wire_time_model_s": a2a_bytes / ICI_BYTES_PER_S,
+            "modeled_v5p_time_s": t_model,
+            "modeled_v5p_efficiency": t_model_1 / (s * t_model),
         })
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as fh:

@@ -437,6 +437,91 @@ def fri_commit_scan(l_evals, l_words, l_lvl1, l_rest, l_root,
     return col_roots, col_bundles, row_bundles, final_values
 
 
+def tree_build_unrolled(leaf_words):
+    """Merkle tree with statically-unrolled levels at TRUE shapes.
+
+    Same math/bytes as `tree_build` (cross-tested), but each level is
+    its own array of exact size — no [M/4]-padded scan buffer (1.4 GB
+    at the 2^23-point domain vs ~134 MB here) and no per-level scan
+    iteration overhead. Compile cost grows with log M, so the CPU test
+    backend keeps the scan form (prover gates on backend/size).
+    Returns (lvl1 [M/2, 8], levels list of [M/2^k, 8] for k >= 2, root).
+    """
+    m, w = leaf_words.shape
+    hasher = _tree_hasher()
+    lvl1 = hasher(leaf_words.reshape(m // 2, 2 * w), 2 * w * 4)
+    levels = []
+    cur = lvl1
+    while cur.shape[0] > 1:
+        cur = hasher(cur.reshape(cur.shape[0] // 2, 16), 64)
+        levels.append(cur)
+    root = levels[-1][0] if levels else lvl1[0]
+    return lvl1, levels, root
+
+
+def fri_commit_unrolled(l_evals, l_words, l_lvl1, l_rest, l_root,
+                        fri_inv_pows, schedule, eta_limbs, inv4_limbs,
+                        queries: int, exclude: int):
+    """FRI commit + query phases, statically UNROLLED over rounds.
+
+    Round-3 replacement for `fri_commit_scan` on the TPU path: with
+    <= ~10 rounds the unrolled graph is still ONE dispatch, but every
+    round works at its TRUE shape — no [N]-padded scan carries (the
+    padded form costs ~4.6 GB of HBM at the 2^23-point domain) and the
+    emitted bundles carry true per-round widths (the padded form wastes
+    ~25% of the proof's D2H bytes on the ~14-25 MB/s tunnel).
+
+    The fold constant eta = g_r^(n_r/4) = G2^(N/4) is round-independent
+    (g_r = G2^(4^r), n_r = N/4^r). `l_rest` may be the scan-form padded
+    array or a list of true-shape levels.
+    Returns (col_roots list[R] of [8], col_bundles list[R] of [q, w_c],
+    row_bundles list[R] of [4q, w_r], final_values [n_final, 16]).
+    """
+    values, tleaf, tlvl1, trest, troot = (l_evals, l_words, l_lvl1,
+                                          l_rest, l_root)
+    col_roots, col_bundles, row_bundles = [], [], []
+    barrier = jax.lax.optimization_barrier
+    for r, (n_r, q_r) in enumerate(schedule):
+        lognr = n_r.bit_length() - 1
+        sx = td.special_x_limbs(troot)
+        y0 = values[0 * q_r:1 * q_r]
+        y1 = values[1 * q_r:2 * q_r]
+        y2 = values[2 * q_r:3 * q_r]
+        y3 = values[3 * q_r:4 * q_r]
+        e0 = fl.add(y0, y2)
+        d02 = fl.sub(y0, y2)
+        e1 = fl.add(y1, y3)
+        d13 = fl.sub(y1, y3)
+        a0 = fl.add(e0, e1)
+        a2 = fl.sub(e0, e1)
+        h = fl.mul(d13, eta_limbs[None])
+        a1 = fl.sub(d02, h)
+        a3 = fl.add(d02, h)
+        u = fl.mul(jnp.broadcast_to(sx[None], (q_r, NL)),
+                   fri_inv_pows[r][:q_r])
+        horner = fl.add(fl.mul(u, a3), a2)
+        horner = fl.add(fl.mul(u, horner), a1)
+        horner = fl.add(fl.mul(u, horner), a0)
+        column = barrier(fl.mul(horner, inv4_limbs[None]))   # [n_r/4,16]
+
+        col_words = b2.limbs_to_words(column)
+        c_lvl1, c_levels, c_root = barrier(tree_build_unrolled(col_words))
+        ys = pseudorandom_indices_traced(c_root, q_r, queries,
+                                         exclude_multiples_of=exclude)
+        col_bundles.append(tree_bundle(col_words, c_lvl1, c_levels, ys,
+                                       lognr - 2))
+        row_idx = (ys[:, None]
+                   + q_r * jnp.arange(4, dtype=jnp.int32)[None]
+                   ).reshape(-1)
+        row_bundles.append(tree_bundle(tleaf, tlvl1, trest, row_idx,
+                                       lognr))
+        col_roots.append(c_root)
+
+        values, tleaf, tlvl1, trest, troot = (column, col_words, c_lvl1,
+                                              c_levels, c_root)
+    return col_roots, col_bundles, row_bundles, values
+
+
 # ---------------------------------------------------------------------------
 # Batch inversion / inverse with scan-only control flow
 # ---------------------------------------------------------------------------

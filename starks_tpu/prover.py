@@ -362,7 +362,9 @@ class _FusedSetup:
 
     _cache = {}
 
-    def __init__(self, steps: int, config: StarkConfig):
+    def __init__(self, steps: int, config: StarkConfig,
+                 unrolled: bool = None):
+        self._unrolled_override = unrolled
         from .ops import fused
         ext = config.extension_factor
         precision = steps * ext
@@ -423,6 +425,16 @@ class _FusedSetup:
         self.inv_z2 = parts[0] if len(parts) == 1 else jnp.concatenate(
             parts)
 
+        # Execution-form choice: statically-unrolled trees + FRI rounds
+        # (true shapes, no padded scan carries, true-width bundles) on
+        # the TPU backend and for big strided plans; the scan forms
+        # remain for XLA:CPU, whose compile time explodes on unrolled
+        # tree levels (bit-identical either way, cross-tested).
+        self.unrolled = (self.plan.strided
+                         or jax.default_backend() != "cpu")
+        if self._unrolled_override is not None:
+            self.unrolled = self._unrolled_override
+
         # Output-vector layout (static widths, host decode).
         self.Wm = 2 * 24 + 8 * (self.logn - 1)
         self.Wl = 2 * 8 + 8 * (self.logn - 1)
@@ -436,10 +448,20 @@ class _FusedSetup:
             ("main_bundle", (2 * s, self.Wm)),
             ("lc_bundle", (s, self.Wl)),
             ("col_roots", (self.rounds, 8)),
-            ("col_bundles", (self.rounds, q, self.Wc)),
-            ("row_bundles", (self.rounds, 4 * q, self.Wr)),
-            ("base_words", (self.n_final, 8)),
         ]
+        if self.unrolled:
+            for r, (n_r, q_r) in enumerate(self.schedule):
+                lognr = n_r.bit_length() - 1
+                wc = 2 * 8 + 8 * (lognr - 3)
+                wr = 2 * 8 + 8 * (lognr - 1)
+                self.sections += [(f"col_b{r}", (q, wc)),
+                                  (f"row_b{r}", (4 * q, wr))]
+        else:
+            self.sections += [
+                ("col_bundles", (self.rounds, q, self.Wc)),
+                ("row_bundles", (self.rounds, 4 * q, self.Wr)),
+            ]
+        self.sections.append(("base_words", (self.n_final, 8)))
         self._core = None
 
     @classmethod
@@ -538,7 +560,9 @@ class _FusedSetup:
             mleaf = jnp.concatenate([b2.limbs_to_words(p),
                                      b2.limbs_to_words(d),
                                      b2.limbs_to_words(b_ev)], axis=-1)
-            m_lvl1, m_rest, m_root = barrier(fused.tree_build(mleaf))
+            tree_fn = (fused.tree_build_unrolled if self.unrolled
+                       else fused.tree_build)
+            m_lvl1, m_rest, m_root = barrier(tree_fn(mleaf))
 
             # 9. Fiat-Shamir weights + linear combination (step 9).
             k1 = td.challenge_limbs(m_root, 1)
@@ -554,7 +578,7 @@ class _FusedSetup:
 
             # 10. Commit #2.
             l_words = b2.limbs_to_words(l)
-            l_lvl1, l_rest, l_root = barrier(fused.tree_build(l_words))
+            l_lvl1, l_rest, l_root = barrier(tree_fn(l_words))
 
             # 11. Spot checks (step 11).
             positions = td.pseudorandom_indices_dev(
@@ -568,16 +592,28 @@ class _FusedSetup:
                                           positions, logn)
             main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
 
-            # 12. FRI (step 12) — one scan over rounds.
-            col_roots, col_bundles, row_bundles, final_vals = \
-                fused.fri_commit_scan(l, l_words, l_lvl1, l_rest, l_root,
-                                      fri_inv_pows, schedule, eta_l,
-                                      inv4_l, cfg.fri_queries, ext)
-            base_words = b2.limbs_to_words(final_vals[:n_final])
+            # 12. FRI (step 12): statically unrolled over rounds on the
+            # TPU path (true shapes/widths), one scan on XLA:CPU.
+            if self.unrolled:
+                col_roots_l, col_bs, row_bs, final_vals = \
+                    fused.fri_commit_unrolled(
+                        l, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
+                        schedule, eta_l, inv4_l, cfg.fri_queries, ext)
+                col_roots = jnp.stack(col_roots_l)
+                fri_parts = [x for pair in zip(col_bs, row_bs)
+                             for x in pair]
+                base_words = b2.limbs_to_words(final_vals)
+            else:
+                col_roots, col_bundles, row_bundles, final_vals = \
+                    fused.fri_commit_scan(
+                        l, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
+                        schedule, eta_l, inv4_l, cfg.fri_queries, ext)
+                fri_parts = [col_bundles, row_bundles]
+                base_words = b2.limbs_to_words(final_vals[:n_final])
 
             # 13. ONE flat output vector; host decodes by static layout.
-            parts = [m_root, l_root, main_bundle, lc_bundle, col_roots,
-                     col_bundles, row_bundles, base_words]
+            parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
+                     + fri_parts + [base_words])
             return jnp.concatenate([x.reshape(-1) for x in parts])
 
         def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
@@ -724,12 +760,12 @@ def _trace_ckpts_packed(trace_np: np.ndarray, su: "_FusedSetup"):
 def _prove_from_trace_fused(trace_np: np.ndarray, steps: int,
                             round_constants,
                             config: StarkConfig = REFERENCE,
-                            _trace_s: float = None):
+                            _trace_s: float = None, _setup=None):
     """Fused one-dispatch proof from a host-computed [steps, 16] trace."""
     timer = _StageTimer(f"prove steps={steps} (fused, host trace)")
     if _trace_s is not None:
         timer.stages["host trace (native)"] = _trace_s
-    su = _FusedSetup.get(steps, config)
+    su = _setup if _setup is not None else _FusedSetup.get(steps, config)
     plan = su.plan
     k_ext = su.k_ext_limbs(round_constants)
     cs_expand = su.expand_consts(round_constants)
@@ -823,12 +859,16 @@ def _decode_fused(flat_np, su: _FusedSetup):
     fri_proof = []
     for r, (n_r, q_r) in enumerate(su.schedule):
         root_bytes = digest_words_to_bytes(sec["col_roots"][r])
-        w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
-        w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
-        col_branches = MerkleTree.bundle_to_branches(
-            sec["col_bundles"][r][:, :w_col], 8)
-        row_branches = MerkleTree.bundle_to_branches(
-            sec["row_bundles"][r][:, :w_row], 8)
+        if su.unrolled:
+            col_b = sec[f"col_b{r}"]
+            row_b = sec[f"row_b{r}"]
+        else:
+            w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
+            w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
+            col_b = sec["col_bundles"][r][:, :w_col]
+            row_b = sec["row_bundles"][r][:, :w_row]
+        col_branches = MerkleTree.bundle_to_branches(col_b, 8)
+        row_branches = MerkleTree.bundle_to_branches(row_b, 8)
         branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
                     for i in range(len(col_branches))]
         fri_proof.append([root_bytes, branches])
