@@ -427,11 +427,14 @@ class _FusedSetup:
 
         # Execution-form choice: statically-unrolled trees + FRI rounds
         # (true shapes, no padded scan carries, true-width bundles) on
-        # the TPU backend and for big strided plans; the scan forms
-        # remain for XLA:CPU, whose compile time explodes on unrolled
-        # tree levels (bit-identical either way, cross-tested).
-        self.unrolled = (self.plan.strided
-                         or jax.default_backend() != "cpu")
+        # the TPU backend for small/mid domains. The scan forms remain
+        # for (a) XLA:CPU, whose compile time explodes on unrolled tree
+        # levels, and (b) big strided plans, where the unrolled 2^23-
+        # domain graph OOM-killed the remote TPU compile service
+        # (SIGKILL; the scan+lean-mul form compiles and runs there).
+        # Bit-identical either way, cross-tested.
+        self.unrolled = (jax.default_backend() != "cpu"
+                         and not self.plan.strided)
         if self._unrolled_override is not None:
             self.unrolled = self._unrolled_override
 
