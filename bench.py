@@ -82,8 +82,10 @@ def _probe_device(timeout_s=600.0) -> bool:
     return bool(ok)
 
 
-def _bench_ntt(n_points: int, ceiling: float):
-    """Forward NTT at n_points on device, fetch-forced."""
+def _bench_ntt(n_points: int, ceiling: float, k: int = 4):
+    """Forward NTT throughput via K CHAINED transforms in one jit
+    (single-shot timings are dominated by the ~25-32 ms fetch floor;
+    chaining amortizes floor + dispatch; floor is subtracted)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,21 +98,31 @@ def _bench_ntt(n_points: int, ceiling: float):
     rng = np.random.default_rng(5)
     vals = jnp.asarray(rng.integers(0, 2 ** 16, (n_points, 16),
                                     dtype=np.uint32))
-    f = jax.jit(fused.ntt_dif)
-    t, _ = timing.timed(f, vals, tw, reps=3)
+
+    def chain(x, tws):
+        for _ in range(k):
+            x = fused.ntt_dif(x, tws)
+        return x
+
+    floor = timing.transfer_floor()
+    t, _ = timing.timed(jax.jit(chain), vals, tw, reps=3)
+    per = max(t - floor, 1e-9) / k
     logn = n_points.bit_length() - 1
     ops = logn * (n_points // 2) * (MODMUL_OPS + BUTTERFLY_EXTRA_OPS)
     return {
         "n_points": n_points,
-        "time_s": t,
-        "points_per_s": n_points / t,
+        "chained_k": k,
+        "time_s": per,
+        "points_per_s": n_points / per,
         "achievable_time_s": ops / ceiling,
-        "fraction_of_achievable": (ops / ceiling) / t,
+        "fraction_of_achievable": (ops / ceiling) / per,
         "paper_sol_time_s": ops / VPU_INT32_OPS,
     }
 
 
-def _bench_hash(n_msgs: int, ceiling: float):
+def _bench_hash(n_msgs: int, ceiling: float, k: int = 64):
+    """blake2s throughput via K CHAINED hash rounds (next message =
+    digest||digest); floor-subtracted like _bench_ntt."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -120,15 +132,25 @@ def _bench_hash(n_msgs: int, ceiling: float):
     rng = np.random.default_rng(6)
     msgs = jnp.asarray(rng.integers(0, 2 ** 32, (n_msgs, 16),
                                     dtype=np.uint32))
-    f = jax.jit(lambda m: b2.blake2s_words_t(m, 64))
-    t, _ = timing.timed(f, msgs, reps=3)
+
+    def chain(m):
+        out = m
+        for _ in range(k):
+            d = b2.blake2s_words_t(out, 64)
+            out = jnp.concatenate([d, d], axis=-1)
+        return out
+
+    floor = timing.transfer_floor()
+    t, _ = timing.timed(jax.jit(chain), msgs, reps=3)
+    per = max(t - floor, 1e-9) / k
     ops = n_msgs * BLAKE2S_OPS
     return {
         "n_msgs": n_msgs,
-        "time_s": t,
-        "hashes_per_s": n_msgs / t,
+        "chained_k": k,
+        "time_s": per,
+        "hashes_per_s": n_msgs / per,
         "achievable_time_s": ops / ceiling,
-        "fraction_of_achievable": (ops / ceiling) / t,
+        "fraction_of_achievable": (ops / ceiling) / per,
         "paper_sol_time_s": ops / VPU_INT32_OPS,
     }
 
@@ -268,6 +290,9 @@ def main():
             for i in inps[:2]:
                 tp.mk_mimc_proof(i, 2 ** 16, CONSTANTS)
             serial_per = (time.time() - t0) / 2
+            # warm the vmapped batch core (compile outside the timing)
+            tp.mk_mimc_proof_batch_fused(inps[:4], 2 ** 16, CONSTANTS,
+                                         chunk=4)
             t0 = time.time()
             proofs5 = tp.mk_mimc_proof_batch_fused(inps, 2 ** 16,
                                                    CONSTANTS, chunk=4)
@@ -312,9 +337,9 @@ def main():
         except Exception as e:
             details["ntt_2e20"] = {"error": repr(e)}
         try:
-            details["blake2s_2e16"] = _bench_hash(2 ** 16, ceiling)
+            details["blake2s_2e20"] = _bench_hash(2 ** 20, ceiling)
         except Exception as e:
-            details["blake2s_2e16"] = {"error": repr(e)}
+            details["blake2s_2e20"] = {"error": repr(e)}
 
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
