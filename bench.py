@@ -311,6 +311,30 @@ def main():
         except Exception as e:
             details["config5_batch_2e16"] = {"error": repr(e)}
 
+        # --- config 5b: batch overlap at 2^13 x 8 (floor/transfer-
+        # dominated regime, where DP batching actually amortizes) ------
+        try:
+            inps13 = [3 + 2 * i for i in range(8)]
+            t0 = time.time()
+            for i in inps13[:4]:
+                tp.mk_mimc_proof(i, STEPS, CONSTANTS)
+            ser13 = (time.time() - t0) / 4
+            tp.mk_mimc_proof_batch_fused(inps13, STEPS, CONSTANTS,
+                                         chunk=4)       # warm/compile
+            t0 = time.time()
+            tp.mk_mimc_proof_batch_fused(inps13, STEPS, CONSTANTS,
+                                         chunk=4)
+            b13 = time.time() - t0
+            details["config5b_batch_2e13"] = {
+                "n_claims": 8,
+                "batch_wall_s": b13,
+                "proofs_per_s": 8 / b13,
+                "serial_per_proof_s": ser13,
+                "speedup_vs_serial": ser13 * 8 / b13,
+            }
+        except Exception as e:
+            details["config5b_batch_2e13"] = {"error": repr(e)}
+
         # --- config 4 (single-chip form): 2^20 steps ------------------
         if os.environ.get("STARKS_BENCH_2E20", "1") == "1":
             try:
