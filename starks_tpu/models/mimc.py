@@ -22,6 +22,25 @@ def mimc_forward(inp: int, steps: int, round_constants) -> int:
     return inp
 
 
+# Cube-root exponent: gcd(3, p-1) = 1 for this field (p-1 ≡ 1 mod 3),
+# so x -> x^3 is a permutation and its inverse is x -> x^D with
+# D = 3^(-1) mod (p-1). This is the VDF direction the reference pitches
+# (SURVEY §3.1 mimc row): one ~256-bit exponentiation per round instead
+# of one cube — ~100x slower, which is the point.
+_CUBE_ROOT_EXP = pow(3, -1, MODULUS - 1)
+
+
+def mimc_backward(out: int, steps: int, round_constants) -> int:
+    """Inverse MiMC permutation (the slow VDF direction):
+    x_i = (x_{i+1} - c[i mod n_c])^(3^-1 mod p-1), run backwards.
+    Satisfies mimc_forward(mimc_backward(y)) == y."""
+    x = out % MODULUS
+    for i in range(steps - 2, -1, -1):
+        c = round_constants[i % len(round_constants)]
+        x = pow((x - c) % MODULUS, _CUBE_ROOT_EXP, MODULUS)
+    return x
+
+
 def trace_host(inp: int, steps: int, round_constants) -> list:
     trace = [inp]
     for i in range(steps - 1):
