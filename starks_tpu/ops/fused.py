@@ -86,18 +86,21 @@ class FusedPlan:
     STRIDED_THRESHOLD = 2 ** 21
 
     def __init__(self, steps: int, precision: int, G1: int, G2: int,
-                 fri_rounds: int):
+                 fri_rounds: int, pallas: bool = False):
         self.steps = steps
         self.precision = precision
         self.strided = precision >= self.STRIDED_THRESHOLD
+        self.pallas = pallas
         fwd_small = _power_table_np(G1, steps)
         fwd_big = _power_table_np(G2, precision)
         inv_small = np.concatenate([fwd_small[:1], fwd_small[:0:-1]], axis=0)
 
         # iNTT over the trace domain (DIF, inverse twiddles) and forward
         # NTT over the evaluation domain (DIT, forward twiddles).
+        # Pallas cores build per-stage twiddles from the PLAIN tables
+        # (like the strided form), so no stacked tables are uploaded.
         self.xs_big = jnp.asarray(fwd_big)          # [N,16] powers of G2
-        if self.strided:
+        if self.strided or pallas:
             self.tw_inv_small = jnp.asarray(inv_small)
             self.tw_fwd_big = self.xs_big
         else:
@@ -117,10 +120,11 @@ class FusedPlan:
 
     @classmethod
     def get(cls, steps: int, precision: int, G1: int, G2: int,
-            fri_rounds: int) -> "FusedPlan":
-        key = (steps, precision, G1, G2, fri_rounds)
+            fri_rounds: int, pallas: bool = False) -> "FusedPlan":
+        key = (steps, precision, G1, G2, fri_rounds, pallas)
         if key not in cls._cache:
-            cls._cache[key] = cls(steps, precision, G1, G2, fri_rounds)
+            cls._cache[key] = cls(steps, precision, G1, G2, fri_rounds,
+                                  pallas)
         return cls._cache[key]
 
 
@@ -234,6 +238,116 @@ def lde_strided(trace, inv_small_table, n_inv_small, fwd_big_table):
     padded = jnp.zeros((steps, ext, NL), jnp.uint32)
     padded = padded.at[:, 0, :].set(coeffs_brev)
     return ntt_dit_strided(padded.reshape(precision, NL), fwd_big_table)
+
+
+# ---------------------------------------------------------------------------
+# Pallas limb-major NTT / LDE (round 4: ops/plimbs.py kernels in the
+# prover hot path). Data flows limb-major [16, n] between stages; the
+# per-stage twiddles are built from the PLAIN power tables (the strided
+# construction — no [logn, n/2] stacked tables at any size), because
+# with VMEM-resident butterfly kernels the twiddle broadcast is a minor
+# cost while the stacked table is ~6 GB at the 2^23-point domain.
+# Bit-identical to ntt_dif/ntt_dit over _stacked_twiddles (cross-tested
+# in tests/test_plimbs.py).
+# ---------------------------------------------------------------------------
+
+def limbs_to_words_t(x_t):
+    """[16, n] limb-major field elements -> [8, n] big-endian message
+    word rows (= b2.limbs_to_words on the transpose)."""
+    rev = x_t[::-1, :]
+    hi16 = rev[0::2, :]
+    lo16 = rev[1::2, :]
+    bs_hi = ((hi16 & 0xFF) << 8) | (hi16 >> 8)
+    bs_lo = ((lo16 & 0xFF) << 8) | (lo16 >> 8)
+    return bs_hi | (bs_lo << 16)
+
+
+def _stage_tw_t(table_t, t: int, half: int):
+    """Limb-major stage-t Pease twiddles TW[:, j] = table[:, (j>>t)<<t]
+    for j < half (the _stage_twiddles construction, transposed)."""
+    stride = 1 << t
+    sub = table_t[:, ::stride][:, : half >> t] if t else table_t[:, :half]
+    return jnp.broadcast_to(sub[:, :, None], (NL, half >> t, stride)
+                            ).reshape(NL, half)
+
+
+def ntt_dif_pl(x_t, table_t):
+    """Constant-geometry DIF over [16, n] with Pallas butterfly stages:
+    natural order in -> bit-reversed out (same bits as ntt_dif)."""
+    from . import plimbs
+    n = x_t.shape[1]
+    logn = n.bit_length() - 1
+    for t in range(logn):
+        u, v = plimbs.dif_stage_x(x_t, _stage_tw_t(table_t, t, n // 2))
+        x_t = jnp.stack([u, v], axis=2).reshape(NL, n)
+    return x_t
+
+
+def ntt_dit_pl(x_t, table_t):
+    """Transpose network over [16, n]: bit-reversed in -> natural out
+    (same bits as ntt_dit)."""
+    from . import plimbs
+    n = x_t.shape[1]
+    logn = n.bit_length() - 1
+    for t in range(logn - 1, -1, -1):
+        x4 = x_t.reshape(NL, n // 2, 2)
+        u, v = plimbs.dit_stage_t(x4[:, :, 0], x4[:, :, 1],
+                                  _stage_tw_t(table_t, t, n // 2))
+        x_t = jnp.concatenate([u, v], axis=1)
+    return x_t
+
+
+def lde_pl(trace_t, inv_small_t, n_inv_s, fwd_big_t):
+    """lde_fused on limb-major operands with Pallas stages. trace_t:
+    [16, steps]; inv_small_t/fwd_big_t: PLAIN power tables [16, steps] /
+    [16, precision]; n_inv_s: [16, 1]."""
+    from . import plimbs
+    steps = trace_t.shape[1]
+    precision = fwd_big_t.shape[1]
+    ext = precision // steps
+    coeffs = ntt_dif_pl(trace_t, inv_small_t)
+    coeffs = plimbs.scale_t(coeffs, n_inv_s)
+    padded = jnp.zeros((NL, steps, ext), jnp.uint32)
+    padded = padded.at[:, :, 0].set(coeffs).reshape(NL, precision)
+    return ntt_dit_pl(padded, fwd_big_t)
+
+
+def fri_commit_unrolled_pl(l_t, l_words, l_lvl1, l_rest, l_root,
+                           fri_inv_pows, schedule, eta_l, inv4_l,
+                           queries: int, exclude: int):
+    """fri_commit_unrolled with the fold as the Pallas fold4 kernel and
+    values kept limb-major. Emits identical sections (true per-round
+    widths); bit-identical bytes (tests/test_plimbs.py)."""
+    from . import plimbs
+    values_t, tleaf, tlvl1, trest, troot = (l_t, l_words, l_lvl1,
+                                            l_rest, l_root)
+    col_roots, col_bundles, row_bundles = [], [], []
+    barrier = jax.lax.optimization_barrier
+    eta_s = eta_l[:, None]
+    inv4_s = inv4_l[:, None]
+    for r, (n_r, q_r) in enumerate(schedule):
+        lognr = n_r.bit_length() - 1
+        sx = td.special_x_limbs(troot)
+        ip_t = jnp.transpose(fri_inv_pows[r][:q_r])
+        column_t = barrier(plimbs.fold4_t(values_t, ip_t, sx[:, None],
+                                          eta_s, inv4_s))
+
+        col_words = jnp.transpose(limbs_to_words_t(column_t))
+        c_lvl1, c_levels, c_root = barrier(tree_build_unrolled(col_words))
+        ys = pseudorandom_indices_traced(c_root, q_r, queries,
+                                         exclude_multiples_of=exclude)
+        col_bundles.append(tree_bundle(col_words, c_lvl1, c_levels, ys,
+                                       lognr - 2))
+        row_idx = (ys[:, None]
+                   + q_r * jnp.arange(4, dtype=jnp.int32)[None]
+                   ).reshape(-1)
+        row_bundles.append(tree_bundle(tleaf, tlvl1, trest, row_idx,
+                                       lognr))
+        col_roots.append(c_root)
+
+        values_t, tleaf, tlvl1, trest, troot = (
+            column_t, col_words, c_lvl1, c_levels, c_root)
+    return col_roots, col_bundles, row_bundles, values_t
 
 
 # ---------------------------------------------------------------------------

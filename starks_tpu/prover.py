@@ -220,7 +220,17 @@ def mk_mimc_proof_with_trace(inp: int, steps: int, round_constants, trace,
     """Proof from a precomputed trace. `trace` is a list of ints or a
     [steps, 16] uint32 limb array. Single-chip (mesh=None) runs the
     fused one-dispatch core fed by trace checkpoints; with a mesh the
-    staged sharded path below runs (four-step NTTs over ICI)."""
+    staged sharded path below runs (four-step NTTs over ICI).
+
+    CHECKPOINT SEMANTICS (mesh=None): the fused core uploads only every
+    trace_K-th state of `trace` and regenerates the intermediate states
+    on device from `round_constants` (fused.expand_trace). A trace that
+    does not satisfy the MiMC recurrence x_{i+1} = x_i^3 + c_i is
+    therefore silently corrected at non-checkpoint rows — the resulting
+    proof attests the RECURRENCE-CONSISTENT trace through the supplied
+    checkpoints, not the verbatim array. (The mesh path proves the
+    supplied trace verbatim.) Callers proving deliberately inconsistent
+    traces should use the staged mesh path or verify the trace first."""
     if isinstance(trace, list):
         trace = ints_to_limbs(trace)
     if mesh is None:
@@ -363,7 +373,7 @@ class _FusedSetup:
     _cache = {}
 
     def __init__(self, steps: int, config: StarkConfig,
-                 unrolled: bool = None):
+                 unrolled: bool = None, pallas: bool = None):
         self._unrolled_override = unrolled
         from .ops import fused
         ext = config.extension_factor
@@ -380,8 +390,13 @@ class _FusedSetup:
             precision, steps * 2, config.fri_base_cutoff)
         self.rounds = len(self.schedule)
         self.n_final = precision // 4 ** self.rounds
+        # Pallas limb kernels in the hot path (round 4): compiled Mosaic
+        # on TPU; the CPU test backend keeps the XLA forms by default
+        # (interpret-mode Pallas is exercised by dedicated tiny tests).
+        self.pallas = (jax.default_backend() == "tpu"
+                       if pallas is None else pallas)
         self.plan = fused.FusedPlan.get(steps, precision, G1, G2,
-                                        self.rounds)
+                                        self.rounds, pallas=self.pallas)
 
         last = pow(G2, (steps - 1) * ext, MODULUS)
         h = pow(G2, steps, MODULUS)
@@ -432,9 +447,11 @@ class _FusedSetup:
         # levels, and (b) big strided plans, where the unrolled 2^23-
         # domain graph OOM-killed the remote TPU compile service
         # (SIGKILL; the scan+lean-mul form compiles and runs there).
-        # Bit-identical either way, cross-tested.
+        # Bit-identical either way, cross-tested. Pallas cores always
+        # use the unrolled layout: their FRI form emits true per-round
+        # widths, and the graph stays small (kernels are opaque).
         self.unrolled = (jax.default_backend() != "cpu"
-                         and not self.plan.strided)
+                         and not self.plan.strided) or self.pallas
         if self._unrolled_override is not None:
             self.unrolled = self._unrolled_override
 
@@ -619,6 +636,90 @@ class _FusedSetup:
                      + fri_parts + [base_words])
             return jnp.concatenate([x.reshape(-1) for x in parts])
 
+        def post_trace_pl(trace, k_ext, zni8, h_pows, islope_l,
+                          last_l, one_l, xs_big, tw_inv_small,
+                          n_inv_small, tw_fwd_big, fri_inv_pows, eta_l,
+                          inv4_l, inv_z2):
+            # Pallas variant of post_trace_fn (round 4): all hot limb
+            # math runs as VMEM-resident ops/plimbs.py kernels on
+            # limb-major [16, N] arrays; trees/transcript/bundles are
+            # unchanged. Bit-identical proofs (tests/test_plimbs.py).
+            from .ops import plimbs
+            barrier = jax.lax.optimization_barrier
+            inp_l = trace[0]
+            output_l = trace[-1]
+            BLK = 2048
+
+            # 2-3. LDE with Pallas butterfly stages. tw_inv_small /
+            # tw_fwd_big are the PLAIN power tables here (plan.pallas).
+            trace_t = jnp.transpose(trace)
+            xs_t = jnp.transpose(xs_big)
+            p_t = barrier(fused.lde_pl(trace_t,
+                                       jnp.transpose(tw_inv_small),
+                                       n_inv_small[:, None], xs_t))
+
+            # 5-7. Constraint / quotient / boundary as ONE fused kernel.
+            pr_t = jnp.roll(p_t, -ext, axis=1)
+            k_tab = plimbs.tile_cols(jnp.transpose(k_ext), BLK)
+            zni_tab = plimbs.tile_cols(jnp.transpose(zni8), BLK)
+            slope = fl.mul(fl.sub(output_l, inp_l), islope_l)
+            ia = fl.sub(inp_l, slope)
+            d_t, b_t = barrier(plimbs.db_map_t(
+                p_t, pr_t, xs_t, k_tab, zni_tab, jnp.transpose(inv_z2),
+                last_l[:, None], slope[:, None], ia[:, None]))
+
+            # 8. Commit #1 (96-byte P||D||B leaves).
+            mleaf = jnp.transpose(jnp.concatenate(
+                [fused.limbs_to_words_t(p_t),
+                 fused.limbs_to_words_t(d_t),
+                 fused.limbs_to_words_t(b_t)], axis=0))
+            m_lvl1, m_rest, m_root = barrier(
+                fused.tree_build_unrolled(mleaf))
+
+            # 9. Fiat-Shamir weights + linear combination.
+            k1 = td.challenge_limbs(m_root, 1)
+            k2 = td.challenge_limbs(m_root, 2)
+            k3 = td.challenge_limbs(m_root, 3)
+            k4 = td.challenge_limbs(m_root, 4)
+            cp_tab = plimbs.tile_cols(
+                jnp.transpose(td.lincomb_coeffs(k1, k2, h_pows)), BLK)
+            cb_tab = plimbs.tile_cols(
+                jnp.transpose(td.lincomb_coeffs(k3, k4, h_pows)), BLK)
+            l_t = barrier(plimbs.l_map_t(d_t, p_t, b_t, cp_tab, cb_tab))
+
+            # 10. Commit #2.
+            l_words = jnp.transpose(fused.limbs_to_words_t(l_t))
+            l_lvl1, l_rest, l_root = barrier(
+                fused.tree_build_unrolled(l_words))
+
+            # 11. Spot checks.
+            positions = td.pseudorandom_indices_dev(
+                l_root, precision, cfg.spot_checks,
+                exclude_multiples_of=ext)
+            aug = jnp.stack([positions, (positions + ext) % precision],
+                            axis=1).reshape(-1)
+            main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
+                                            logn)
+            lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
+                                          positions, logn)
+            main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
+
+            # 12. FRI with the Pallas fold kernel.
+            col_roots_l, col_bs, row_bs, final_t = \
+                fused.fri_commit_unrolled_pl(
+                    l_t, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
+                    schedule, eta_l, inv4_l, cfg.fri_queries, ext)
+            col_roots = jnp.stack(col_roots_l)
+            fri_parts = [x for pair in zip(col_bs, row_bs) for x in pair]
+            base_words = jnp.transpose(fused.limbs_to_words_t(final_t))
+
+            # 13. ONE flat output vector.
+            parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
+                     + fri_parts + [base_words])
+            return jnp.concatenate([x.reshape(-1) for x in parts])
+
+        post_fn = post_trace_pl if self.pallas else post_trace_fn
+
         def core_fn(inp_l, cs_tiled, k_ext, zni8, h_pows, islope_l,
                     last_l, one_l, xs_big, tw_inv_small, n_inv_small,
                     tw_fwd_big, fri_inv_pows, eta_l, inv4_l, inv_z2):
@@ -633,10 +734,10 @@ class _FusedSetup:
             # all-device form remains for environments with no host trace.
             barrier = jax.lax.optimization_barrier
             trace = barrier(fused.trace_scan(inp_l, cs_tiled))
-            return post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
-                                 last_l, one_l, xs_big, tw_inv_small,
-                                 n_inv_small, tw_fwd_big, fri_inv_pows,
-                                 eta_l, inv4_l, inv_z2)
+            return post_fn(trace, k_ext, zni8, h_pows, islope_l,
+                           last_l, one_l, xs_big, tw_inv_small,
+                           n_inv_small, tw_fwd_big, fri_inv_pows,
+                           eta_l, inv4_l, inv_z2)
 
         def traced_core_fn(ckpt_packed, cs_expand, k_ext, zni8, h_pows,
                            islope_l, last_l, one_l, xs_big, tw_inv_small,
@@ -648,14 +749,14 @@ class _FusedSetup:
             # across segments (fused.expand_trace — K dependent steps
             # instead of `steps`).
             barrier = jax.lax.optimization_barrier
-            with fl.enable_lean_mul(self.plan.strided):
+            with fl.enable_lean_mul(self.plan.strided and not self.pallas):
                 ckpts = fused.unpack_limbs(ckpt_packed)
                 trace = barrier(fused.expand_trace(ckpts, cs_expand))
-                return post_trace_fn(trace, k_ext, zni8, h_pows,
-                                     islope_l, last_l, one_l, xs_big,
-                                     tw_inv_small, n_inv_small,
-                                     tw_fwd_big, fri_inv_pows, eta_l,
-                                     inv4_l, inv_z2)
+                return post_fn(trace, k_ext, zni8, h_pows,
+                               islope_l, last_l, one_l, xs_big,
+                               tw_inv_small, n_inv_small,
+                               tw_fwd_big, fri_inv_pows, eta_l,
+                               inv4_l, inv_z2)
 
         self._post_trace_fn = post_trace_fn
         self._traced_core_fn = traced_core_fn

@@ -32,9 +32,12 @@ digests — which no encoding of THIS transcript can drop without field
 arithmetic in the decoder.
 """
 
+import logging
 import struct
 
 from .transcript import blake, pseudorandom_indices
+
+_log = logging.getLogger(__name__)
 
 _MAGIC_V1 = b'STPU\x01'
 _MAGIC_V2 = b'STPU\x02'
@@ -238,8 +241,14 @@ def serialize(proof, exclude_multiples_of: int = 8,
                                  extension_factor)
         if _proof_eq(deserialize(data), proof):
             return data
+        _log.warning("pruned v3 codec failed round-trip self-check; "
+                     "falling back to structural v1 encoding")
     except Exception:
-        pass
+        # Expected for non-MiMC proof shapes (AIR 6-element objects);
+        # a regression that breaks v3 for ordinary MiMC proofs would
+        # otherwise silently balloon proof sizes (ADVICE r3) — log it.
+        _log.debug("pruned v3 codec raised; falling back to v1",
+                   exc_info=True)
     return serialize_v1(proof)
 
 

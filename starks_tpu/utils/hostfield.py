@@ -27,6 +27,23 @@ def inv(a: int, m: int = MODULUS) -> int:
     return lm % m
 
 
+def multi_inv(values, m: int = MODULUS):
+    """Batch modular inverse (`starks/poly_utils.py :: multi_inv`,
+    SURVEY §3.1): ONE extended-Euclid inversion + 3(n-1) multiplies.
+    Zeros map to zero. The verifier batches its ~300 per-proof
+    inversions through this (round-4 verifier speedup)."""
+    partials = [1]
+    for v in values:
+        partials.append(partials[-1] * (v % m if v % m else 1) % m)
+    outputs = [0] * len(values)
+    acc = inv(partials[-1], m)
+    for i in range(len(values) - 1, -1, -1):
+        vi = values[i] % m
+        outputs[i] = partials[i] * acc % m if vi else 0
+        acc = acc * (vi if vi else 1) % m
+    return outputs
+
+
 def host_ntt(vals, root: int, inverse: bool = False, m: int = MODULUS):
     """Iterative radix-2 NTT over <root> (order must be a power of two >=
     len(vals); zero-pads). Natural order in/out; inverse scales by n^-1.
@@ -111,13 +128,15 @@ def interp4(xs, ys, m: int = MODULUS):
 _INV4 = None
 
 
-def interp4_coset(x1: int, i4: int, ys, m: int = MODULUS):
+def interp4_coset(x1: int, i4: int, ys, m: int = MODULUS,
+                  x1_inv: int = None):
     """Quartic interpolation through the coset points x1 * {1, i, -1, -i}
     (i4 = primitive 4th root of unity) — the exact point structure of
     every FRI row (`starks/fri.py` groups rows by stride N/4, SURVEY
     §4.3), so Lagrange interpolation collapses to a 4-point inverse DFT:
     c_k = (1/4) * x1^{-k} * sum_j i^{-jk} ys[j]. ONE extended-Euclid
-    inversion instead of interp4's four."""
+    inversion instead of interp4's four; pass `x1_inv` (e.g. from a
+    multi_inv batch over all of a round's queries) for zero."""
     global _INV4
     if _INV4 is None or m != MODULUS:
         inv4 = inv(4, m)
@@ -134,7 +153,7 @@ def interp4_coset(x1: int, i4: int, ys, m: int = MODULUS):
     s1 = (d + g) % m
     s2 = (e - f) % m
     s3 = (d - g) % m
-    x1i = inv(x1, m)
+    x1i = inv(x1, m) if x1_inv is None else x1_inv
     c0 = s0 * inv4 % m
     c1 = s1 * inv4 * x1i % m
     x1i2 = x1i * x1i % m

@@ -76,13 +76,17 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, proof,
         sx = special_x(merkle_root)
         ys = pseudorandom_indices(root2, roudeg // 4, config.fri_queries,
                                   exclude_multiples_of=exclude_multiples_of)
+        # One batched inversion for the whole round's row x-coordinates
+        # (multi_inv, SURVEY §3.1) instead of one ext-Euclid per query.
+        x1s = [pow(root_of_unity, y, m) for y in ys]
+        x1_invs = hf.multi_inv(x1s, m)
         for i, y in enumerate(ys):
-            x1 = pow(root_of_unity, y, m)
             row = [verify_branch(merkle_root, y + (roudeg // 4) * j,
                                  branches[i][j + 1], as_int=True)
                    for j in range(4)]
             colval = verify_branch(root2, y, branches[i][0], as_int=True)
-            poly = hf.interp4_coset(x1, quartic_roots[1], row)
+            poly = hf.interp4_coset(x1s[i], quartic_roots[1], row,
+                                    x1_inv=x1_invs[i])
             _check(hf.eval_quartic(poly, sx) == colval,
                    "FRI fold inconsistency")
         merkle_root = root2
@@ -141,8 +145,11 @@ def verify_mimc_proof(inp: int, steps: int, round_constants, output: int,
 
     i_poly = hf.line_through(1, inp % m, last, output % m)
 
+    xs_all = [pow(G2, pos, m) for pos in positions]
+    zden_invs = hf.multi_inv([x - last for x in xs_all], m)
+
     for i, pos in enumerate(positions):
-        x = pow(G2, pos, m)
+        x = xs_all[i]
         x_steps = pow(x, steps, m)
         leaf1 = verify_branch(m_root, pos, main_branches[2 * i])
         leaf2 = verify_branch(m_root, (pos + skips) % precision,
@@ -153,7 +160,7 @@ def verify_mimc_proof(inp: int, steps: int, round_constants, output: int,
         b_of_x = int.from_bytes(leaf1[64:], 'big')
         p_of_g1x = int.from_bytes(leaf2[:32], 'big')
 
-        z = (x_steps - 1) * hf.inv(x - last) % m
+        z = (x_steps - 1) * zden_invs[i] % m
         k_of_x = hf.eval_poly_at(mini_poly, pow(x, skips2, m))
 
         # Transition: P(g1 x) - P(x)^3 - K(x) = Z(x) D(x).

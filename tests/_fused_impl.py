@@ -160,3 +160,40 @@ class TestUnrolledForms:
         got = tp._prove_from_trace_fused(trace, steps, constants,
                                          _setup=su)
         assert _proof_eq(got, want)
+
+
+class TestStridedForms:
+    """ADVICE r3 (medium): the big-domain execution path — strided
+    twiddles (ntt_dif_strided/lde_strided) + the lean-mul barrier mode +
+    the strided-gated traced core — only activates at precision >=
+    2^21, which the CPU suite never reaches. Force it at steps=64 by
+    patching FusedPlan.STRIDED_THRESHOLD and assert the proof is
+    bit-identical to the oracle."""
+
+    def test_strided_core_bit_identical_to_oracle(self):
+        from starks_tpu import prover as tp
+        from starks_tpu.models import mimc as mimc_model
+        from oracle import stark as ostark
+
+        steps = 64
+        constants = [(i ** 7) ^ 42 for i in range(16)]
+        inp = 3
+        want = ostark.mk_mimc_proof(inp, steps, constants)
+
+        saved_thresh = fused.FusedPlan.STRIDED_THRESHOLD
+        saved_cache = dict(fused.FusedPlan._cache)
+        fused.FusedPlan.STRIDED_THRESHOLD = 1
+        try:
+            fused.FusedPlan._cache.clear()
+            su = __import__("starks_tpu").prover._FusedSetup(
+                steps, tp.REFERENCE)
+            assert su.plan.strided, "threshold patch did not take"
+            trace = np.asarray(mimc_model.trace_limbs(inp, steps,
+                                                      constants))
+            got = tp._prove_from_trace_fused(trace, steps, constants,
+                                             _setup=su)
+        finally:
+            fused.FusedPlan.STRIDED_THRESHOLD = saved_thresh
+            fused.FusedPlan._cache.clear()
+            fused.FusedPlan._cache.update(saved_cache)
+        assert _proof_eq(got, want)

@@ -41,6 +41,13 @@ class TestSerialize:
         assert v2 < 0.8 * v1, (v2, v1)
         assert v2 < 0.45 * raw, (v2, raw)
 
+    def test_canonical_mimc_proof_uses_v3(self):
+        # A regression that breaks the pruned codec for ordinary MiMC
+        # proofs must not hide behind the silent v1 fallback (ADVICE
+        # r3): the canonical 5-element MiMC shape must emit v3 magic.
+        blob = ser.serialize(_tiny_proof())
+        assert blob[:5] == ser._MAGIC_V3, blob[:5]
+
     def test_v1_still_readable(self):
         proof = _tiny_proof()
         blob = ser.serialize_v1(proof)
