@@ -79,10 +79,9 @@ report["stage_timings"] = dict(prover.LAST_PROOF_TIMINGS)
 print(f"prove e2e: {best*1e3:.1f} ms", flush=True)
 
 # verify against the oracle verifier (bit-exactness end to end)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from oracle import stark as ostark
-from oracle import mimc as omimc
-output = omimc.mimc(INP, STEPS, CONSTS)
+from oracle.mimc import mimc as omimc_fn
+output = omimc_fn(INP, STEPS, CONSTS)
 t0 = time.perf_counter()
 ok = ostark.verify_mimc_proof(INP, STEPS, CONSTS, output, proof)
 report["verified"] = bool(ok)

@@ -57,6 +57,42 @@ class DeviceOps:
                         (self.n, 1))
 
 
+class PallasOps:
+    """Field ops on limb-major [16, N] arrays, each a VMEM-resident
+    Pallas kernel (ops/plimbs.py) — the TPU AIR core's ops namespace.
+    The same AIR `transition` definition traces through any of the
+    three namespaces unchanged."""
+
+    def __init__(self, n):
+        self.n = n
+
+    @staticmethod
+    def add(a, b):
+        from .ops import plimbs
+        return plimbs.add_t(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        from .ops import plimbs
+        return plimbs.sub_t(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        from .ops import plimbs
+        return plimbs.mul_t(a, b)
+
+    @staticmethod
+    def cube(a):
+        from .ops import plimbs
+        return plimbs.cube_t(a)
+
+    def const(self, c: int):
+        from .utils.conversions import int_to_limbs
+        return jnp.broadcast_to(
+            jnp.asarray(int_to_limbs(c % MODULUS))[:, None],
+            (fl.NUM_LIMBS, self.n))
+
+
 class HostOps:
     """Field ops on Python ints (verifier side)."""
 
@@ -270,8 +306,13 @@ class _FusedAIRSetup:
             precision, steps * 2, pv.FRI_BASE_CUTOFF)
         self.rounds = len(self.schedule)
         self.n_final = precision // 4 ** self.rounds
+        # Pallas + unrolled execution forms on TPU (round 4: AIR parity
+        # with the MiMC core — same kernels, same gating rationale as
+        # prover._FusedSetup).
+        self.pallas = jax.default_backend() == "tpu"
+        self.unrolled = self.pallas
         self.plan = fused.FusedPlan.get(steps, precision, G1, G2,
-                                        self.rounds)
+                                        self.rounds, pallas=self.pallas)
 
         last = pow(G2, (steps - 1) * ext, MODULUS)
         h = pow(G2, steps, MODULUS)
@@ -352,10 +393,20 @@ class _FusedAIRSetup:
             ("main_bundle", (2 * s, self.Wm)),
             ("lc_bundle", (s, self.Wl)),
             ("col_roots", (self.rounds, 8)),
-            ("col_bundles", (self.rounds, q, self.Wc)),
-            ("row_bundles", (self.rounds, 4 * q, self.Wl)),
-            ("base_words", (self.n_final, 8)),
         ]
+        if self.unrolled:
+            for r, (n_r, q_r) in enumerate(self.schedule):
+                lognr = n_r.bit_length() - 1
+                wc = 2 * 8 + 8 * (lognr - 3)
+                wr = 2 * 8 + 8 * (lognr - 1)
+                self.sections += [(f"col_b{r}", (q, wc)),
+                                  (f"row_b{r}", (4 * q, wr))]
+        else:
+            self.sections += [
+                ("col_bundles", (self.rounds, q, self.Wc)),
+                ("row_bundles", (self.rounds, 4 * q, self.Wl)),
+            ]
+        self.sections.append(("base_words", (self.n_final, 8)))
         self._core = None
 
     @classmethod
@@ -393,8 +444,103 @@ class _FusedAIRSetup:
         w, nc = self.w, self.nc
         b_regs = self.b_regs
 
-        def core_fn(trace_l, ys_l):
+        def pallas_core_fn(trace_pk, ys_l):
+            # Limb-major Pallas AIR core (round 4): per-register Pallas
+            # LDE, VMEM-resident transition/quotient/boundary/L maps,
+            # unrolled trees + Pallas FRI. Bit-identical to prove_air
+            # (tests/_air_impl.py).
+            from .ops import plimbs
             barrier = jax.lax.optimization_barrier
+            trace_l = fused.unpack_limbs(trace_pk)      # [steps, w, 16]
+            inv_small_t = jnp.transpose(plan.tw_inv_small)
+            xs_t = jnp.transpose(plan.xs_big)
+            n_inv_s = plan.n_inv_small[:, None]
+            p_cols = []
+            for r in range(w):
+                p = fused.lde_pl(jnp.transpose(barrier(trace_l[:, r])),
+                                 inv_small_t, n_inv_s, xs_t)
+                p_cols.append(barrier(p))               # [16, N] each
+
+            # Transition constraints -> quotients (limb-major ops).
+            nxt = [jnp.roll(p, -ext, axis=1) for p in p_cols]
+            ops = PallasOps(precision)
+            k_ts = [jnp.transpose(k) for k in t["k_tables"]]
+            c_list = air.transition(p_cols, nxt, k_ts, ops)
+            xml_t = jnp.transpose(t["x_minus_last"])
+            zni_t = jnp.transpose(t["zni"])
+            d_cols = [plimbs.mul_t(plimbs.mul_t(c, xml_t), zni_t)
+                      for c in c_list]
+
+            # Boundary columns from traced boundary VALUES.
+            b_cols = []
+            pt = 0
+            for ri, reg in enumerate(b_regs):
+                i_ev = None
+                for basis_ev in t["basis"][ri]:
+                    term = plimbs.scale_t(jnp.transpose(basis_ev),
+                                          ys_l[pt][:, None])
+                    i_ev = term if i_ev is None else plimbs.add_t(i_ev,
+                                                                  term)
+                    pt += 1
+                b = plimbs.mul_t(plimbs.sub_t(p_cols[reg], i_ev),
+                                 jnp.transpose(t["inv_z"][ri]))
+                b_cols.append(b)
+            d_cols = barrier(d_cols)
+            b_cols = barrier(b_cols) if b_cols else b_cols
+
+            # Commit #1: leaf = P cols || D cols || B cols.
+            cols = p_cols + d_cols + b_cols
+            mleaf = jnp.transpose(jnp.concatenate(
+                [fused.limbs_to_words_t(c) for c in cols], axis=0))
+            m_lvl1, m_rest, m_root = barrier(
+                fused.tree_build_unrolled(mleaf))
+
+            # Fiat-Shamir weights + linear combination.
+            ks = [td.challenge_limbs(m_root, j + 1)
+                  for j in range(self.n_weights)]
+            ki = iter(ks)
+            l = None
+            for d in d_cols:
+                term = plimbs.scale_t(d, next(ki)[:, None])
+                l = term if l is None else plimbs.add_t(l, term)
+            for col in p_cols + b_cols:
+                coef = plimbs.tile_cols(jnp.transpose(
+                    td.lincomb_coeffs(next(ki), next(ki), self.h_pows)),
+                    2048)
+                l = plimbs.add_t(l, plimbs.mul_tab_t(col, coef))
+            l = barrier(l)
+
+            l_words = jnp.transpose(fused.limbs_to_words_t(l))
+            l_lvl1, l_rest, l_root = barrier(
+                fused.tree_build_unrolled(l_words))
+
+            positions = td.pseudorandom_indices_dev(
+                l_root, precision, pv.SPOT_CHECK_SECURITY_FACTOR,
+                exclude_multiples_of=ext)
+            aug = jnp.stack([positions, (positions + ext) % precision],
+                            axis=1).reshape(-1)
+            main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
+                                            logn)
+            lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
+                                          positions, logn)
+            main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
+
+            col_roots_l, col_bs, row_bs, final_t = \
+                fused.fri_commit_unrolled_pl(
+                    l, l_words, l_lvl1, l_rest, l_root,
+                    plan.fri_inv_pows, schedule, self.eta_l,
+                    self.inv4_l, pv.FRI_QUERIES, ext)
+            col_roots = jnp.stack(col_roots_l)
+            fri_parts = [x for pair in zip(col_bs, row_bs) for x in pair]
+            base_words = jnp.transpose(fused.limbs_to_words_t(final_t))
+
+            parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
+                     + fri_parts + [base_words])
+            return jnp.concatenate([x.reshape(-1) for x in parts])
+
+        def core_fn(trace_pk, ys_l):
+            barrier = jax.lax.optimization_barrier
+            trace_l = fused.unpack_limbs(trace_pk)      # [steps, w, 16]
             # Per-register LDE (fused iNTT -> zero-interleave -> NTT).
             p_cols = []
             for r in range(w):
@@ -470,8 +616,20 @@ class _FusedAIRSetup:
                      col_bundles, row_bundles, base_words]
             return jnp.concatenate([x.reshape(-1) for x in parts])
 
-        self._core = jax.jit(core_fn)
+        self._core_fn = pallas_core_fn if self.pallas else core_fn
+        self._core = jax.jit(self._core_fn)
         return self._core
+
+    def batch_core(self):
+        """vmap of the AIR core over the claim axis: B proofs per
+        dispatch from B packed traces + boundary-value vectors (the AIR
+        analog of prover._FusedSetup.batch_core)."""
+        import jax
+        if getattr(self, "_batch_core", None) is None:
+            self.core()
+            self._batch_core = jax.jit(jax.vmap(self._core_fn,
+                                                in_axes=(0, 0)))
+        return self._batch_core
 
 
 def prove_air_fused(air: AIR, inputs, steps: int):
@@ -484,8 +642,11 @@ def prove_air_fused(air: AIR, inputs, steps: int):
     su = _FusedAIRSetup.get(air, steps)
 
     trace_rows = air.trace(inputs, steps)
-    trace_l = jnp.asarray(np.stack(
-        [np.asarray(ints_to_limbs(row)) for row in trace_rows]))
+    from .ops import fused
+    # Packed upload (2 u16 limbs per u32 word): halves the H2D bytes of
+    # the [steps, w] trace on the ~25 MB/s tunnel.
+    trace_pk = jnp.asarray(fused.pack_limbs_np(np.stack(
+        [np.asarray(ints_to_limbs(row)) for row in trace_rows])))
 
     boundary_values = {(s, r): trace_rows[s][r]
                        for (s, r) in air.boundary_points(steps)}
@@ -494,7 +655,7 @@ def prove_air_fused(air: AIR, inputs, steps: int):
     ys_l = jnp.asarray(ints_to_limbs(ys)) if ys else \
         jnp.zeros((0, fl.NUM_LIMBS), jnp.uint32)
 
-    flat_np = np.asarray(su.core()(trace_l, ys_l))
+    flat_np = np.asarray(su.core()(trace_pk, ys_l))
 
     sec = {}
     off = 0
@@ -514,12 +675,15 @@ def prove_air_fused(air: AIR, inputs, steps: int):
     fri_proof = []
     for r, (n_r, q_r) in enumerate(su.schedule):
         root_bytes = digest_words_to_bytes(sec["col_roots"][r])
-        w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
-        w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
-        col_branches = MerkleTree.bundle_to_branches(
-            sec["col_bundles"][r][:, :w_col], 8)
-        row_branches = MerkleTree.bundle_to_branches(
-            sec["row_bundles"][r][:, :w_row], 8)
+        if su.unrolled:
+            col_b, row_b = sec[f"col_b{r}"], sec[f"row_b{r}"]
+        else:
+            w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
+            w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
+            col_b = sec["col_bundles"][r][:, :w_col]
+            row_b = sec["row_bundles"][r][:, :w_row]
+        col_branches = MerkleTree.bundle_to_branches(col_b, 8)
+        row_branches = MerkleTree.bundle_to_branches(row_b, 8)
         branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
                     for i in range(len(col_branches))]
         fri_proof.append([root_bytes, branches])

@@ -276,6 +276,45 @@ def dif_stage_t(a_t, b_t, tw_t, blk: int = 2048):
     )(a_t, b_t, tw_t)
 
 
+def _add_kernel(a_ref, b_ref, o_ref):
+    a, b = _rows(a_ref), _rows(b_ref)
+    _write(o_ref, _add_lanes(a, b, jnp.zeros_like(a[0])))
+
+
+def _sub_kernel(a_ref, b_ref, o_ref):
+    a, b = _rows(a_ref), _rows(b_ref)
+    _write(o_ref, _sub_lanes(a, b, jnp.zeros_like(a[0])))
+
+
+def _cube_kernel(a_ref, o_ref):
+    a = _rows(a_ref)
+    _write(o_ref, _cube_lanes(a, jnp.zeros_like(a[0])))
+
+
+def _ew(kernel, n_in: int):
+    """Elementwise [16, N] pallas_call builder (uniform blocking)."""
+
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def run(*ops, blk: int = 2048):
+        n = ops[0].shape[1]
+        blk = min(blk, n)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((NL, n), jnp.uint32),
+            grid=(n // blk,),
+            in_specs=[pl.BlockSpec((NL, blk), lambda i: (0, i))] * n_in,
+            out_specs=pl.BlockSpec((NL, blk), lambda i: (0, i)),
+            interpret=_interpret(),
+        )(*ops)
+
+    return run
+
+
+add_t = _ew(_add_kernel, 2)
+sub_t = _ew(_sub_kernel, 2)
+cube_t = _ew(_cube_kernel, 1)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 prover-integration kernels. Conventions shared by all:
 # operands are limb-major [16, N] uint32; per-element tables are blocked
@@ -387,6 +426,21 @@ def db_map_t(p_t, pr_t, xs_t, k_tab, zni_tab, iz2_t, last, slope, ia,
         out_specs=(_blkspec(blk), _blkspec(blk)),
         interpret=_interpret(),
     )(p_t, pr_t, xs_t, k_tab, zni_tab, iz2_t, last, slope, ia)
+
+
+def mul_tab_t(x_t, tab, blk: int = 2048):
+    """x * tab for a lane-periodic [16, L] table (tiled/modular block
+    reads — the AIR prover's periodic-coefficient multiplies)."""
+    n = x_t.shape[1]
+    blk = min(blk, n)
+    return pl.pallas_call(
+        _mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((NL, n), jnp.uint32),
+        grid=(n // blk,),
+        in_specs=[_blkspec(blk), _tab_spec(tab, blk)],
+        out_specs=_blkspec(blk),
+        interpret=_interpret(),
+    )(x_t, tab)
 
 
 def l_map_t(d_t, p_t, b_t, cp_tab, cb_tab, blk: int = 2048):

@@ -197,3 +197,26 @@ class TestStridedForms:
             fused.FusedPlan._cache.clear()
             fused.FusedPlan._cache.update(saved_cache)
         assert _proof_eq(got, want)
+
+
+class TestPallasCore:
+    """The Pallas-integrated core (the TPU default path, round 4) must
+    be bit-identical to the oracle. Runs in Pallas interpret mode on
+    the CPU backend — same kernel math as compiled Mosaic (the on-chip
+    run is oracle-verified in scripts/exp_r4pl.json)."""
+
+    def test_pallas_core_bit_identical_to_oracle(self):
+        from starks_tpu import prover as tp
+        from starks_tpu.models import mimc as mimc_model
+        from oracle import stark as ostark
+
+        steps = 64
+        constants = [(i ** 7) ^ 42 for i in range(16)]
+        inp = 3
+        want = ostark.mk_mimc_proof(inp, steps, constants)
+        su = tp._FusedSetup(steps, tp.REFERENCE, pallas=True)
+        assert su.pallas and su.plan.pallas
+        trace = np.asarray(mimc_model.trace_limbs(inp, steps, constants))
+        got = tp._prove_from_trace_fused(trace, steps, constants,
+                                         _setup=su)
+        assert _proof_eq(got, want)
