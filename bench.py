@@ -175,6 +175,18 @@ def main():
 
     plat_name = jax.devices()[0].platform
     on_chip = plat_name != "cpu"
+
+    # --profile: capture a jax.profiler trace (Perfetto/XProf, SURVEY
+    # §6) of one warm prove per profiled config under profile_traces/.
+    # View with `xprof` / Perfetto UI (tensorboard-plugin-profile is in
+    # the image). Off by default: tracing perturbs timings.
+    profile_dir = None
+    if "--profile" in sys.argv or os.environ.get(
+            "STARKS_BENCH_PROFILE") == "1":
+        profile_dir = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "profile_traces")
+        os.makedirs(profile_dir, exist_ok=True)
+
     import starks_tpu.prover as tp
     from starks_tpu import serialize as ser
     from starks_tpu import verifier as tv
@@ -199,6 +211,11 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     speedup = cpu_time / best
+
+    if profile_dir:
+        with jax.profiler.trace(os.path.join(profile_dir,
+                                             "prove_2e13")):
+            tp.mk_mimc_proof(INP, STEPS, CONSTANTS)
 
     output = mimc_forward(INP, STEPS, CONSTANTS)
     t0 = time.time()
@@ -357,7 +374,12 @@ def main():
 
         # --- kernel rows vs measured ceiling --------------------------
         try:
-            details["ntt_2e20"] = _bench_ntt(2 ** 20, ceiling)
+            if profile_dir:
+                with jax.profiler.trace(os.path.join(profile_dir,
+                                                     "ntt_2e20")):
+                    details["ntt_2e20"] = _bench_ntt(2 ** 20, ceiling)
+            else:
+                details["ntt_2e20"] = _bench_ntt(2 ** 20, ceiling)
         except Exception as e:
             details["ntt_2e20"] = {"error": repr(e)}
         try:

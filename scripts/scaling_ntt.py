@@ -31,8 +31,15 @@ import sys
 import time
 
 LOG2N_DEFAULT = 16
-ICI_BYTES_PER_S = 100e9
-CHIP_NTT_POINTS_PER_S = 5.0e6    # measured: bench_details ntt_2e20
+ICI_BYTES_PER_S = 100e9          # per-link (v5p: 6 links/chip, 3D torus)
+# Round-4 chip rate: the Pallas DIF butterfly stage moves 5.07e9
+# points/s/stage at 2^20 (measured, scripts/exp_pntt.json); a full
+# n-point NTT is log2(n) stages, so the chip NTT rate is
+# STAGE_POINTS_PER_S * n / (n log2 n) = 5.07e9 / log2(n) pts/s
+# (2.53e8 at 2^20 — ~50x the round-3 XLA-kernel rate the old model
+# used, which is why this re-model exists: VERDICT r3 'weak #4').
+STAGE_POINTS_PER_S = 5.07e9      # measured Pallas stage rate
+CHIP_NTT_POINTS_PER_S_LEGACY = 5.0e6   # round-3 XLA rate (kept for delta)
 
 
 def child(n_devices: int, log2n: int):
@@ -98,6 +105,8 @@ def main():
     n = 1 << log2n
     t1 = rows[0]["time_s"]
     host_cores = os.cpu_count()
+    log2 = log2n
+    chip_rate = STAGE_POINTS_PER_S / log2    # full-NTT pts/s at this n
     report = {
         "n_points": n,
         "host_cores": host_cores,
@@ -107,19 +116,38 @@ def main():
             "wall columns verify the schedule, local_share columns "
             "measure per-shard work, modeled_* columns state the ICI "
             "roofline the >=70% target refers to".format(host_cores)),
-        "chip_ntt_points_per_s": CHIP_NTT_POINTS_PER_S,
-        "ici_bytes_per_s": ICI_BYTES_PER_S,
+        "model_assumptions": {
+            "pallas_stage_points_per_s": STAGE_POINTS_PER_S,
+            "chip_ntt_points_per_s": chip_rate,
+            "chip_ntt_points_per_s_round3_xla": CHIP_NTT_POINTS_PER_S_LEGACY,
+            "ici_bytes_per_link_s": ICI_BYTES_PER_S,
+            "ici_links_used": 1,
+            "bytes_per_point": 64,
+            "a2a_rounds": 3,
+            "note": ("compute = n*log2(n) butterfly-stage points split "
+                     "across s chips at the MEASURED Pallas stage rate; "
+                     "comm = 3 all-to-alls of n*64B*(s-1)/s total, one "
+                     "ICI link (conservative: v5p has 6). overlapped_* "
+                     "rows double-buffer the transpose chunks "
+                     "(SURVEY §8 hard part #3): per-chip time = "
+                     "max(compute, comm) + one chunk startup."),
+        },
         "rows": [],
     }
     for row in rows:
         s = row["devices"]
         a2a_bytes = 0 if s == 1 else 3 * n * 64 * (s - 1) // s
-        # Modeled on-chip numbers: local two-pass NTT work at n/s
-        # points per chip at the measured single-chip rate + wire time.
-        local_model_s = (2.0 * (n / s)) / CHIP_NTT_POINTS_PER_S
+        # Per-chip stage work: the four-step schedule executes all
+        # log2(n) butterfly stages on 1/s of the domain.
+        local_model_s = (n / s) * log2 / STAGE_POINTS_PER_S
         wire_s = (a2a_bytes / s) / ICI_BYTES_PER_S
-        t_model = local_model_s + wire_s
-        t_model_1 = 2.0 * n / CHIP_NTT_POINTS_PER_S
+        t_serial = local_model_s + wire_s
+        # Overlap: stream the 3 transposes in C chunks double-buffered
+        # against the butterfly stages that consume them; startup is
+        # one chunk's wire time (C=8).
+        t_overlap = max(local_model_s, wire_s) + (wire_s / 8 if s > 1
+                                                  else 0.0)
+        t_model_1 = n * log2 / STAGE_POINTS_PER_S
         report["rows"].append({
             "devices": s,
             "wall_time_s": row["time_s"],
@@ -128,8 +156,12 @@ def main():
                                     / row["local_share_time_s"]),
             "collective_count": 0 if s == 1 else 3,
             "collective_bytes_total": a2a_bytes,
-            "modeled_v5p_time_s": t_model,
-            "modeled_v5p_efficiency": t_model_1 / (s * t_model),
+            "comm_wire_s_per_chip": wire_s,
+            "compute_s_per_chip": local_model_s,
+            "modeled_v5p_time_s": t_serial,
+            "modeled_v5p_efficiency": t_model_1 / (s * t_serial),
+            "overlapped_time_s": t_overlap,
+            "overlapped_efficiency": t_model_1 / (s * t_overlap),
         })
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as fh:

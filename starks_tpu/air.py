@@ -380,6 +380,7 @@ class _FusedAIRSetup:
         self.nc = air.num_constraints
         self.nb = len(self.b_regs)
         self.leaf_cols = self.w + self.nc + self.nb
+        self.main_leaf_words = 8 * self.leaf_cols
         self.n_weights = self.nc + 2 * (self.w + self.nb)
         lw = 8 * self.leaf_cols
         q = pv.FRI_QUERIES
@@ -536,7 +537,7 @@ class _FusedAIRSetup:
 
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
                      + fri_parts + [base_words])
-            return jnp.concatenate([x.reshape(-1) for x in parts])
+            return tuple(parts)
 
         def core_fn(trace_pk, ys_l):
             barrier = jax.lax.optimization_barrier
@@ -614,7 +615,7 @@ class _FusedAIRSetup:
 
             parts = [m_root, l_root, main_bundle, lc_bundle, col_roots,
                      col_bundles, row_bundles, base_words]
-            return jnp.concatenate([x.reshape(-1) for x in parts])
+            return tuple(parts)
 
         self._core_fn = pallas_core_fn if self.pallas else core_fn
         self._core = jax.jit(self._core_fn)
@@ -655,44 +656,12 @@ def prove_air_fused(air: AIR, inputs, steps: int):
     ys_l = jnp.asarray(ints_to_limbs(ys)) if ys else \
         jnp.zeros((0, fl.NUM_LIMBS), jnp.uint32)
 
-    flat_np = np.asarray(su.core()(trace_pk, ys_l))
-
-    sec = {}
-    off = 0
-    for name, shape in su.sections:
-        size = int(np.prod(shape))
-        sec[name] = flat_np[off:off + size].reshape(shape)
-        off += size
-    assert off == flat_np.shape[0], (off, flat_np.shape)
-
-    from .utils.conversions import digest_words_to_bytes
-    m_root = digest_words_to_bytes(sec["m_root"])
-    l_root = digest_words_to_bytes(sec["l_root"])
-    lw = 8 * su.leaf_cols
-    main_branches = MerkleTree.bundle_to_branches(sec["main_bundle"], lw)
-    lc_branches = MerkleTree.bundle_to_branches(sec["lc_bundle"], 8)
-
-    fri_proof = []
-    for r, (n_r, q_r) in enumerate(su.schedule):
-        root_bytes = digest_words_to_bytes(sec["col_roots"][r])
-        if su.unrolled:
-            col_b, row_b = sec[f"col_b{r}"], sec[f"row_b{r}"]
-        else:
-            w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
-            w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
-            col_b = sec["col_bundles"][r][:, :w_col]
-            row_b = sec["row_bundles"][r][:, :w_row]
-        col_branches = MerkleTree.bundle_to_branches(col_b, 8)
-        row_branches = MerkleTree.bundle_to_branches(row_b, 8)
-        branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
-                    for i in range(len(col_branches))]
-        fri_proof.append([root_bytes, branches])
-    fri_proof.append([digest_words_to_bytes(x)
-                      for x in sec["base_words"]])
+    from .prover import _fetch_prepped, _assemble_prepped
+    pre = _fetch_prepped(su.core()(trace_pk, ys_l), su)
+    proof = _assemble_prepped(pre, su)
 
     public_boundary = sorted(boundary_values.items())
-    return [m_root, l_root, main_branches, lc_branches, fri_proof,
-            public_boundary]
+    return proof + [public_boundary]
 
 
 def verify_air(air: AIR, steps: int, proof) -> bool:

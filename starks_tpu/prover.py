@@ -138,14 +138,27 @@ def _fri_device(values, domain: ntt_mod.Domain, maxdeg_plus_1: int,
     return rounds, b2.limbs_to_words(values)
 
 
+def _fetch_flat(arr):
+    """Fastest measured D2H path for a single device array on the
+    tunneled runtime (scripts/exp_r4par.json): np.asarray takes a slow
+    copy path (53 ms for 557 kB) while an explicit copy_to_host_async
+    followed by jax.device_get streams at the wire rate (33 ms for the
+    same buffer, of which ~25 ms is irreducible RPC latency)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass                      # CPU arrays / older runtimes: no-op
+    return np.ascontiguousarray(jax.device_get(arr))
+
+
 def _fetch_all(arrays):
     """ONE device->host transfer for a list of device arrays: flatten,
     concatenate, fetch, re-split. The tunneled runtime pays ~25 ms
     latency per transfer regardless of size (measured), so everything a
     proof sends to the host crosses in a single bulk copy."""
     flat = [a.reshape(-1) for a in arrays]
-    buf = np.asarray(jnp.concatenate(flat)) if flat else np.zeros(0,
-                                                                  np.uint32)
+    buf = _fetch_flat(jnp.concatenate(flat)) if flat else np.zeros(
+        0, np.uint32)
     out, off = [], 0
     for a in arrays:
         size = int(np.prod(a.shape))
@@ -631,10 +644,14 @@ class _FusedSetup:
                 fri_parts = [col_bundles, row_bundles]
                 base_words = b2.limbs_to_words(final_vals[:n_final])
 
-            # 13. ONE flat output vector; host decodes by static layout.
+            # 13. One output array PER SECTION (su.sections order): the
+            # host fetches them concurrently — 8-16 parallel gets cost
+            # ~RTT + bytes/110 MB/s vs ~RTT + bytes/40 MB/s for one
+            # bulk buffer on the tunneled runtime (exp_r4par.json) —
+            # and decodes each section as it lands.
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
                      + fri_parts + [base_words])
-            return jnp.concatenate([x.reshape(-1) for x in parts])
+            return tuple(parts)
 
         def post_trace_pl(trace, k_ext, zni8, h_pows, islope_l,
                           last_l, one_l, xs_big, tw_inv_small,
@@ -713,10 +730,10 @@ class _FusedSetup:
             fri_parts = [x for pair in zip(col_bs, row_bs) for x in pair]
             base_words = jnp.transpose(fused.limbs_to_words_t(final_t))
 
-            # 13. ONE flat output vector.
+            # 13. One output array per section (see post_trace_fn).
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
                      + fri_parts + [base_words])
-            return jnp.concatenate([x.reshape(-1) for x in parts])
+            return tuple(parts)
 
         post_fn = post_trace_pl if self.pallas else post_trace_fn
 
@@ -838,15 +855,15 @@ def mk_mimc_proof_fused(inp: int, steps: int, round_constants,
     k_ext = su.k_ext_limbs(round_constants)
     timer.mark("setup")
 
-    flat = su.core()(inp_l, cs_tiled, k_ext, su.zni8, su.h_pows,
-                     su.islope_l, su.last_l, su.one_l, plan.xs_big,
-                     plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
-                     plan.fri_inv_pows, su.eta_l, su.inv4_l, su.inv_z2)
+    parts = su.core()(inp_l, cs_tiled, k_ext, su.zni8, su.h_pows,
+                      su.islope_l, su.last_l, su.one_l, plan.xs_big,
+                      plan.tw_inv_small, plan.n_inv_small, plan.tw_fwd_big,
+                      plan.fri_inv_pows, su.eta_l, su.inv4_l, su.inv_z2)
     timer.mark("dispatch")
-    flat_np = np.asarray(flat)
+    pre = _fetch_prepped(parts, su)
     timer.mark("device compute + transfer")
 
-    proof = _decode_fused(flat_np, su)
+    proof = _assemble_prepped(pre, su)
     timer.mark("proof assembly")
     LAST_PROOF_TIMINGS.clear()
     LAST_PROOF_TIMINGS.update(timer.stages)
@@ -876,16 +893,17 @@ def _prove_from_trace_fused(trace_np: np.ndarray, steps: int,
     ckpts = jnp.asarray(_trace_ckpts_packed(trace_np, su))
     timer.mark("setup")
 
-    flat = su.traced_core()(ckpts, cs_expand, k_ext, su.zni8, su.h_pows,
-                            su.islope_l, su.last_l, su.one_l, plan.xs_big,
-                            plan.tw_inv_small, plan.n_inv_small,
-                            plan.tw_fwd_big, plan.fri_inv_pows, su.eta_l,
-                            su.inv4_l, su.inv_z2)
+    parts = su.traced_core()(ckpts, cs_expand, k_ext, su.zni8,
+                             su.h_pows, su.islope_l, su.last_l, su.one_l,
+                             plan.xs_big, plan.tw_inv_small,
+                             plan.n_inv_small, plan.tw_fwd_big,
+                             plan.fri_inv_pows, su.eta_l, su.inv4_l,
+                             su.inv_z2)
     timer.mark("dispatch")
-    flat_np = np.asarray(flat)
+    pre = _fetch_prepped(parts, su)
     timer.mark("device compute + transfer")
 
-    proof = _decode_fused(flat_np, su)
+    proof = _assemble_prepped(pre, su)
     timer.mark("proof assembly")
     LAST_PROOF_TIMINGS.clear()
     LAST_PROOF_TIMINGS.update(timer.stages)
@@ -937,49 +955,110 @@ def mk_mimc_proof_batch_fused(inps, steps: int, round_constants,
     in_flight = dispatch(chunks[0]) if chunks else None
     for ci in range(len(chunks)):
         nxt = dispatch(chunks[ci + 1]) if ci + 1 < len(chunks) else None
-        flat_np = np.asarray(in_flight)  # one bulk D2H per chunk
+        parts_np = _fetch_parts_np(in_flight)  # concurrent D2H per chunk
         for b in range(len(chunks[ci][1])):
-            proofs.append(_decode_fused(flat_np[b], su))
+            proofs.append(_decode_fused([p[b] for p in parts_np], su))
         in_flight = nxt
     return proofs
 
 
-def _decode_fused(flat_np, su: _FusedSetup):
-    """Host decode of the fused core's flat output vector into the
-    reference-shaped proof object (SURVEY §A.8)."""
-    sec = {}
-    off = 0
-    for name, shape in su.sections:
-        size = int(np.prod(shape))
-        sec[name] = flat_np[off:off + size].reshape(shape)
-        off += size
-    assert off == flat_np.shape[0], (off, flat_np.shape)
+_FETCH_POOL = None
 
-    m_root = digest_words_to_bytes(sec["m_root"])
-    l_root = digest_words_to_bytes(sec["l_root"])
-    main_branches = MerkleTree.bundle_to_branches(sec["main_bundle"], 24)
-    lc_branches = MerkleTree.bundle_to_branches(sec["lc_bundle"], 8)
 
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        import concurrent.futures as cf
+        _FETCH_POOL = cf.ThreadPoolExecutor(16)
+    return _FETCH_POOL
+
+
+def _prep_section(name, arr, main_leaf_words: int):
+    """Per-section host decode (numpy array -> proof fragments). Runs
+    inside the fetch worker threads so byte decode of early sections
+    overlaps the network wait of later ones."""
+    if name in ("m_root", "l_root"):
+        return digest_words_to_bytes(arr)
+    if name in ("col_bundles", "row_bundles"):
+        return arr                      # scan form: sliced in assemble
+    if name == "main_bundle":
+        return MerkleTree.bundle_to_branches(arr, main_leaf_words)
+    if name == "lc_bundle" or name.startswith(("col_b", "row_b")):
+        return MerkleTree.bundle_to_branches(arr, 8)
+    if name in ("col_roots", "base_words"):
+        return [digest_words_to_bytes(r) for r in arr]
+    return arr
+
+
+def _fetch_prepped(parts, su):
+    """Concurrent per-section D2H + on-arrival decode. exp_r4par.json:
+    8-16 parallel gets stream the 557 kB payload in ~RTT + 5 ms vs
+    ~RTT + 14 ms for a single bulk buffer; decode hides in the wait."""
+    for p in parts:
+        try:
+            p.copy_to_host_async()
+        except Exception:
+            pass
+    mlw = getattr(su, "main_leaf_words", 24)
+
+    def work(i):
+        name, shape = su.sections[i]
+        arr = np.ascontiguousarray(jax.device_get(parts[i])
+                                   ).reshape(shape)
+        return name, _prep_section(name, arr, mlw)
+
+    futs = [_fetch_pool().submit(work, i) for i in range(len(parts))]
+    return dict(f.result() for f in futs)
+
+
+def _fetch_parts_np(parts):
+    """Concurrent D2H of a tuple of device arrays -> list of np arrays
+    (no decode — the batch path preps per proof row afterwards)."""
+    for p in parts:
+        try:
+            p.copy_to_host_async()
+        except Exception:
+            pass
+    futs = [_fetch_pool().submit(
+        lambda a=a: np.ascontiguousarray(jax.device_get(a)))
+        for a in parts]
+    return [f.result() for f in futs]
+
+
+def _assemble_prepped(pre, su):
+    """Reference-shaped proof object (SURVEY §A.8) from prepped
+    sections."""
     fri_proof = []
     for r, (n_r, q_r) in enumerate(su.schedule):
-        root_bytes = digest_words_to_bytes(sec["col_roots"][r])
+        root_bytes = pre["col_roots"][r]
         if su.unrolled:
-            col_b = sec[f"col_b{r}"]
-            row_b = sec[f"row_b{r}"]
+            col_branches = pre[f"col_b{r}"]
+            row_branches = pre[f"row_b{r}"]
         else:
             w_col = 2 * 8 + 8 * (q_r.bit_length() - 1 - 1)
             w_row = 2 * 8 + 8 * (n_r.bit_length() - 1 - 1)
-            col_b = sec["col_bundles"][r][:, :w_col]
-            row_b = sec["row_bundles"][r][:, :w_row]
-        col_branches = MerkleTree.bundle_to_branches(col_b, 8)
-        row_branches = MerkleTree.bundle_to_branches(row_b, 8)
+            col_branches = MerkleTree.bundle_to_branches(
+                pre["col_bundles"][r][:, :w_col], 8)
+            row_branches = MerkleTree.bundle_to_branches(
+                pre["row_bundles"][r][:, :w_row], 8)
         branches = [[col_branches[i]] + row_branches[4 * i: 4 * i + 4]
                     for i in range(len(col_branches))]
         fri_proof.append([root_bytes, branches])
-    fri_proof.append([digest_words_to_bytes(w)
-                      for w in sec["base_words"]])
+    fri_proof.append(pre["base_words"])
+    return [pre["m_root"], pre["l_root"], pre["main_bundle"],
+            pre["lc_bundle"], fri_proof]
 
-    return [m_root, l_root, main_branches, lc_branches, fri_proof]
+
+def _decode_fused(parts_np, su: _FusedSetup):
+    """Decode already-fetched per-section numpy arrays (batch path /
+    tests) into the reference-shaped proof object."""
+    mlw = getattr(su, "main_leaf_words", 24)
+    pre = {}
+    for (name, shape), arr in zip(su.sections, parts_np):
+        pre[name] = _prep_section(name,
+                                  np.ascontiguousarray(arr).reshape(shape),
+                                  mlw)
+    return _assemble_prepped(pre, su)
 
 
 def _stage_db(p_evals, xs, k_ext, z_num_inv8, last_b, one_b, i_ab,
