@@ -238,6 +238,15 @@ def main():
         "proof_size_raw_bytes": ser.raw_length(proof),
     }
 
+    def _dump():
+        # Checkpoint after every config: the per-config compiles run
+        # tens of minutes cold, and a partial report beats a stale one
+        # if the run is cut short.
+        with open("bench_details.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+
+    _dump()
+
     if on_chip or os.environ.get("STARKS_BENCH_FULL") == "1":
         # --- measured elementwise ceiling (timing discipline row) -----
         from starks_tpu.utils import timing
@@ -251,6 +260,8 @@ def main():
         except Exception as e:
             ceiling = 1.5e11
             details["calibration"] = {"error": repr(e)}
+
+        _dump()
 
         # --- config 2: 2^16 e2e (one chip) ----------------------------
         try:
@@ -275,6 +286,8 @@ def main():
         except Exception as e:           # OOM etc: report, don't die
             details["config2_2e16"] = {"error": repr(e)}
 
+        _dump()
+
         # --- config 3: Fibonacci-square AIR, 2^13 ---------------------
         try:
             from starks_tpu.air import prove_air_fused, verify_air
@@ -297,6 +310,8 @@ def main():
             }
         except Exception as e:
             details["config3_fib_square_2e13"] = {"error": repr(e)}
+
+        _dump()
 
         # --- config 5 (single-host form): batch throughput at 2^16 ----
         try:
@@ -352,6 +367,8 @@ def main():
         except Exception as e:
             details["config5b_batch_2e13"] = {"error": repr(e)}
 
+        _dump()
+
         # --- config 4 (single-chip form): 2^20 steps ------------------
         if os.environ.get("STARKS_BENCH_2E20", "1") == "1":
             try:
@@ -371,6 +388,8 @@ def main():
                 }
             except Exception as e:
                 details["config4_2e20_single_chip"] = {"error": repr(e)}
+
+        _dump()
 
         # --- kernel rows vs measured ceiling --------------------------
         try:

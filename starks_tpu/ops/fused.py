@@ -314,19 +314,22 @@ def lde_pl(trace_t, inv_small_t, n_inv_s, fwd_big_t):
 
 def fri_commit_unrolled_pl(l_t, l_words, l_lvl1, l_rest, l_root,
                            fri_inv_pows, schedule, eta_l, inv4_l,
-                           queries: int, exclude: int):
+                           queries: int, exclude: int,
+                           top_levels: int = 0):
     """fri_commit_unrolled with the fold as the Pallas fold4 kernel and
     values kept limb-major. Emits identical sections (true per-round
     widths); bit-identical bytes (tests/test_plimbs.py)."""
     from . import plimbs
     values_t, tleaf, tlvl1, trest, troot = (l_t, l_words, l_lvl1,
                                             l_rest, l_root)
-    col_roots, col_bundles, row_bundles = [], [], []
+    col_roots, col_bundles, row_bundles, col_tops = [], [], [], []
     barrier = jax.lax.optimization_barrier
     eta_s = eta_l[:, None]
     inv4_s = inv4_l[:, None]
     for r, (n_r, q_r) in enumerate(schedule):
         lognr = n_r.bit_length() - 1
+        t_row = bundle_prune_depth(lognr, top_levels)
+        t_col = bundle_prune_depth(lognr - 2, top_levels)
         sx = td.special_x_limbs(troot)
         ip_t = jnp.transpose(fri_inv_pows[r][:q_r])
         column_t = barrier(plimbs.fold4_t(values_t, ip_t, sx[:, None],
@@ -337,16 +340,20 @@ def fri_commit_unrolled_pl(l_t, l_words, l_lvl1, l_rest, l_root,
         ys = pseudorandom_indices_traced(c_root, q_r, queries,
                                          exclude_multiples_of=exclude)
         col_bundles.append(tree_bundle(col_words, c_lvl1, c_levels, ys,
-                                       lognr - 2))
+                                       lognr - 2, top_levels=t_col))
         row_idx = (ys[:, None]
                    + q_r * jnp.arange(4, dtype=jnp.int32)[None]
                    ).reshape(-1)
         row_bundles.append(tree_bundle(tleaf, tlvl1, trest, row_idx,
-                                       lognr))
+                                       lognr, top_levels=t_row))
         col_roots.append(c_root)
+        if t_col > 0:
+            col_tops.append(tree_tops(c_levels, lognr - 2, t_col))
 
         values_t, tleaf, tlvl1, trest, troot = (
             column_t, col_words, c_lvl1, c_levels, c_root)
+    if top_levels > 0:
+        return col_roots, col_bundles, row_bundles, values_t, col_tops
     return col_roots, col_bundles, row_bundles, values_t
 
 
@@ -397,12 +404,20 @@ def tree_build(leaf_words):
     return lvl1, rest, rest[logm - 2][0]
 
 
-def tree_bundle(leaf_words, lvl1, rest, idx, n_levels: int):
-    """[K, 2W + 8*(n_levels-1)] branch bundles (leaf, sibling leaf,
-    digest sibling per level bottom-up, root omitted) gathered on
-    device; decode with MerkleTree.bundle_to_branches. `n_levels` is
-    static (= log2 of the VALID tree size; for padded buffers pass the
-    max and slice on host)."""
+def tree_bundle(leaf_words, lvl1, rest, idx, n_levels: int,
+                top_levels: int = 0):
+    """[K, 2W + 8*(n_levels-1-top_levels)] branch bundles (leaf,
+    sibling leaf, digest sibling per level bottom-up, root omitted)
+    gathered on device; decode with MerkleTree.bundle_to_branches.
+    `n_levels` is static (= log2 of the VALID tree size; for padded
+    buffers pass the max and slice on host).
+
+    `top_levels` > 0 OMITS the top `top_levels` sibling entries — the
+    branches' top siblings repeat across queries, so the prover ships
+    the tree's top levels ONCE (`tree_tops`) and the host splices them
+    back by replaying the Fiat-Shamir positions (round 4: cuts the
+    query-bundle D2H payload ~40% on the ~37 MB/s tunnel)."""
+    assert 0 <= top_levels <= max(n_levels - 2, 0)
     idx = jnp.asarray(idx, jnp.int32)
     parts = [jnp.take(leaf_words, idx, axis=0),
              jnp.take(leaf_words, idx ^ 1, axis=0)]
@@ -410,10 +425,32 @@ def tree_bundle(leaf_words, lvl1, rest, idx, n_levels: int):
     if n_levels >= 2:
         parts.append(jnp.take(lvl1, node ^ 1, axis=0))
         node = node >> 1
-    for k in range(n_levels - 2):
+    for k in range(n_levels - 2 - top_levels):
         parts.append(jnp.take(rest[k], node ^ 1, axis=0))
         node = node >> 1
     return jnp.concatenate(parts, axis=-1)
+
+
+def tree_tops(rest, n_levels: int, top_levels: int):
+    """[2^(top_levels+1) - 2, 8] — ALL nodes of the top `top_levels`
+    levels below the root, lowest level first (level n_levels-top_levels
+    block of 2^top_levels nodes, then upward to level n_levels-1's 2
+    nodes). Complements tree_bundle(top_levels=...); the host splices
+    branch siblings out of this with (pos >> level) ^ 1 indexing
+    (prover._complete_branches). `rest` is the unrolled-form level list
+    (rest[k] = level k+2 nodes)."""
+    assert 1 <= top_levels <= n_levels - 2
+    return jnp.concatenate(
+        [rest[lvl - 2] for lvl in range(n_levels - top_levels, n_levels)],
+        axis=0)
+
+
+def bundle_prune_depth(n_levels: int, cap: int = 7) -> int:
+    """Top-levels prune depth for a depth-`n_levels` tree: at most
+    `cap` (break-even vs shipping 2^(t+1) tops nodes at ~40-200
+    branches/tree), clipped so at least the two leaf entries and one
+    digest sibling stay in-bundle."""
+    return max(0, min(cap, n_levels - 2))
 
 
 # ---------------------------------------------------------------------------
@@ -575,7 +612,7 @@ def tree_build_unrolled(leaf_words):
 
 def fri_commit_unrolled(l_evals, l_words, l_lvl1, l_rest, l_root,
                         fri_inv_pows, schedule, eta_limbs, inv4_limbs,
-                        queries: int, exclude: int):
+                        queries: int, exclude: int, top_levels: int = 0):
     """FRI commit + query phases, statically UNROLLED over rounds.
 
     Round-3 replacement for `fri_commit_scan` on the TPU path: with
@@ -589,14 +626,19 @@ def fri_commit_unrolled(l_evals, l_words, l_lvl1, l_rest, l_root,
     (g_r = G2^(4^r), n_r = N/4^r). `l_rest` may be the scan-form padded
     array or a list of true-shape levels.
     Returns (col_roots list[R] of [8], col_bundles list[R] of [q, w_c],
-    row_bundles list[R] of [4q, w_r], final_values [n_final, 16]).
+    row_bundles list[R] of [4q, w_r], final_values [n_final, 16]) —
+    plus, when `top_levels` > 0, a list of per-round column-tree tops
+    (tree_tops; the round-r ROW tree is the round-(r-1) column tree —
+    or the caller's L tree for r=0 — so no separate row tops exist).
     """
     values, tleaf, tlvl1, trest, troot = (l_evals, l_words, l_lvl1,
                                           l_rest, l_root)
-    col_roots, col_bundles, row_bundles = [], [], []
+    col_roots, col_bundles, row_bundles, col_tops = [], [], [], []
     barrier = jax.lax.optimization_barrier
     for r, (n_r, q_r) in enumerate(schedule):
         lognr = n_r.bit_length() - 1
+        t_row = bundle_prune_depth(lognr, top_levels)
+        t_col = bundle_prune_depth(lognr - 2, top_levels)
         sx = td.special_x_limbs(troot)
         y0 = values[0 * q_r:1 * q_r]
         y1 = values[1 * q_r:2 * q_r]
@@ -623,16 +665,20 @@ def fri_commit_unrolled(l_evals, l_words, l_lvl1, l_rest, l_root,
         ys = pseudorandom_indices_traced(c_root, q_r, queries,
                                          exclude_multiples_of=exclude)
         col_bundles.append(tree_bundle(col_words, c_lvl1, c_levels, ys,
-                                       lognr - 2))
+                                       lognr - 2, top_levels=t_col))
         row_idx = (ys[:, None]
                    + q_r * jnp.arange(4, dtype=jnp.int32)[None]
                    ).reshape(-1)
         row_bundles.append(tree_bundle(tleaf, tlvl1, trest, row_idx,
-                                       lognr))
+                                       lognr, top_levels=t_row))
         col_roots.append(c_root)
+        if t_col > 0:
+            col_tops.append(tree_tops(c_levels, lognr - 2, t_col))
 
         values, tleaf, tlvl1, trest, troot = (column, col_words, c_lvl1,
                                               c_levels, c_root)
+    if top_levels > 0:
+        return col_roots, col_bundles, row_bundles, values, col_tops
     return col_roots, col_bundles, row_bundles, values
 
 

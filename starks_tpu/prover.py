@@ -469,10 +469,20 @@ class _FusedSetup:
             self.unrolled = self._unrolled_override
 
         # Output-vector layout (static widths, host decode).
-        self.Wm = 2 * 24 + 8 * (self.logn - 1)
-        self.Wl = 2 * 8 + 8 * (self.logn - 1)
+        #
+        # Unrolled/Pallas path (round 4): branch bundles omit the top
+        # `prune` sibling levels of each tree — those entries repeat
+        # across the 40-160 queries per tree, so the core ships each
+        # tree's top levels ONCE (tops_* sections) and the host splices
+        # siblings back by replaying the Fiat-Shamir positions
+        # (_complete_branches). Cuts the per-proof D2H payload ~40% on
+        # the ~37 MB/s tunnel (scripts/exp_r4fetch3.json timeline).
+        self.prune_T = 7 if self.unrolled else 0
+        self.t_main = fused.bundle_prune_depth(self.logn, self.prune_T)
+        self.Wm = 2 * 24 + 8 * (self.logn - 1 - self.t_main)
+        self.Wl = 2 * 8 + 8 * (self.logn - 1 - self.t_main)
         self.Wc = 2 * 8 + 8 * (self.logn - 3)
-        self.Wr = self.Wl
+        self.Wr = 2 * 8 + 8 * (self.logn - 1)
         q = config.fri_queries
         s = config.spot_checks
         self.sections = [
@@ -482,11 +492,15 @@ class _FusedSetup:
             ("lc_bundle", (s, self.Wl)),
             ("col_roots", (self.rounds, 8)),
         ]
+        self.t_cols = []
         if self.unrolled:
             for r, (n_r, q_r) in enumerate(self.schedule):
                 lognr = n_r.bit_length() - 1
-                wc = 2 * 8 + 8 * (lognr - 3)
-                wr = 2 * 8 + 8 * (lognr - 1)
+                t_row = fused.bundle_prune_depth(lognr, self.prune_T)
+                t_col = fused.bundle_prune_depth(lognr - 2, self.prune_T)
+                self.t_cols.append(t_col)
+                wc = 2 * 8 + 8 * (lognr - 3 - t_col)
+                wr = 2 * 8 + 8 * (lognr - 1 - t_row)
                 self.sections += [(f"col_b{r}", (q, wc)),
                                   (f"row_b{r}", (4 * q, wr))]
         else:
@@ -495,6 +509,43 @@ class _FusedSetup:
                 ("row_bundles", (self.rounds, 4 * q, self.Wr)),
             ]
         self.sections.append(("base_words", (self.n_final, 8)))
+        if self.t_main > 0:
+            self.sections += [
+                ("tops_m", (2 ** (self.t_main + 1) - 2, 8)),
+                ("tops_l", (2 ** (self.t_main + 1) - 2, 8)),
+            ]
+        for r, t_col in enumerate(self.t_cols):
+            if t_col > 0:
+                self.sections.append(
+                    (f"tops_c{r}", (2 ** (t_col + 1) - 2, 8)))
+
+        # D2H output layout: each query BUNDLE is its own device buffer
+        # (5-7 buffers stream concurrently at ~2.7x the single-buffer
+        # rate, exp_r4par.json); everything small — roots, tops, final
+        # FRI values — is packed into ONE flat buffer, because every
+        # extra fetch costs fixed per-RPC overhead on the tunnel and
+        # spills the 16-thread fetch pool (exp_r4prune.json: 20 buffers
+        # fetched no faster than the unpruned 16).
+        def _is_bundle(name):
+            return (name in ("main_bundle", "lc_bundle", "col_bundles",
+                             "row_bundles")
+                    or name.startswith(("col_b", "row_b")))
+
+        self.big_sections = [(i, n, sh) for i, (n, sh)
+                             in enumerate(self.sections)
+                             if _is_bundle(n)]
+        self.small_idx = [i for i, (n, _) in enumerate(self.sections)
+                          if not _is_bundle(n)]
+        self.small_layout = []          # (name, offset_words, shape)
+        off = 0
+        for n, sh in self.sections:
+            if not _is_bundle(n):
+                size = 1
+                for d in sh:
+                    size *= d
+                self.small_layout.append((n, off, sh))
+                off += size
+        self.small_words = off
         self._core = None
 
     @classmethod
@@ -549,6 +600,15 @@ class _FusedSetup:
         schedule = self.schedule
         cfg = self.config
         n_final = self.n_final
+
+        def emit(parts_list):
+            """Section-ordered arrays -> D2H output tuple: bundle
+            buffers individually + one packed flat buffer for all the
+            small sections (see the layout comment in __init__)."""
+            big = [parts_list[i] for i, _, _ in self.big_sections]
+            pack = jnp.concatenate(
+                [parts_list[i].reshape(-1) for i in self.small_idx])
+            return tuple(big) + (pack,)
 
         def post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
                           last_l, one_l, xs_big, tw_inv_small,
@@ -620,22 +680,30 @@ class _FusedSetup:
             aug = jnp.stack([positions, (positions + ext) % precision],
                             axis=1).reshape(-1)
             main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
-                                            logn)
+                                            logn, top_levels=self.t_main)
             lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
-                                          positions, logn)
+                                          positions, logn,
+                                          top_levels=self.t_main)
             main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
 
             # 12. FRI (step 12): statically unrolled over rounds on the
             # TPU path (true shapes/widths), one scan on XLA:CPU.
+            tops_parts = []
             if self.unrolled:
-                col_roots_l, col_bs, row_bs, final_vals = \
+                col_roots_l, col_bs, row_bs, final_vals, col_tops = \
                     fused.fri_commit_unrolled(
                         l, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
-                        schedule, eta_l, inv4_l, cfg.fri_queries, ext)
+                        schedule, eta_l, inv4_l, cfg.fri_queries, ext,
+                        top_levels=self.prune_T)
                 col_roots = jnp.stack(col_roots_l)
                 fri_parts = [x for pair in zip(col_bs, row_bs)
                              for x in pair]
                 base_words = b2.limbs_to_words(final_vals)
+                if self.t_main > 0:
+                    tops_parts = [
+                        fused.tree_tops(m_rest, logn, self.t_main),
+                        fused.tree_tops(l_rest, logn, self.t_main),
+                    ] + col_tops
             else:
                 col_roots, col_bundles, row_bundles, final_vals = \
                     fused.fri_commit_scan(
@@ -650,8 +718,8 @@ class _FusedSetup:
             # bulk buffer on the tunneled runtime (exp_r4par.json) —
             # and decodes each section as it lands.
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
-                     + fri_parts + [base_words])
-            return tuple(parts)
+                     + fri_parts + [base_words] + tops_parts)
+            return emit(parts)
 
         def post_trace_pl(trace, k_ext, zni8, h_pows, islope_l,
                           last_l, one_l, xs_big, tw_inv_small,
@@ -716,24 +784,36 @@ class _FusedSetup:
             aug = jnp.stack([positions, (positions + ext) % precision],
                             axis=1).reshape(-1)
             main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
-                                            logn)
+                                            logn, top_levels=self.t_main)
             lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
-                                          positions, logn)
+                                          positions, logn,
+                                          top_levels=self.t_main)
             main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
 
             # 12. FRI with the Pallas fold kernel.
-            col_roots_l, col_bs, row_bs, final_t = \
-                fused.fri_commit_unrolled_pl(
-                    l_t, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
-                    schedule, eta_l, inv4_l, cfg.fri_queries, ext)
+            res = fused.fri_commit_unrolled_pl(
+                l_t, l_words, l_lvl1, l_rest, l_root, fri_inv_pows,
+                schedule, eta_l, inv4_l, cfg.fri_queries, ext,
+                top_levels=self.prune_T)
+            if self.prune_T > 0:
+                col_roots_l, col_bs, row_bs, final_t, col_tops = res
+            else:
+                col_roots_l, col_bs, row_bs, final_t = res
+                col_tops = []
             col_roots = jnp.stack(col_roots_l)
             fri_parts = [x for pair in zip(col_bs, row_bs) for x in pair]
             base_words = jnp.transpose(fused.limbs_to_words_t(final_t))
+            tops_parts = []
+            if self.t_main > 0:
+                tops_parts = [
+                    fused.tree_tops(m_rest, logn, self.t_main),
+                    fused.tree_tops(l_rest, logn, self.t_main),
+                ] + col_tops
 
             # 13. One output array per section (see post_trace_fn).
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
-                     + fri_parts + [base_words])
-            return tuple(parts)
+                     + fri_parts + [base_words] + tops_parts)
+            return emit(parts)
 
         post_fn = post_trace_pl if self.pallas else post_trace_fn
 
@@ -985,30 +1065,59 @@ def _prep_section(name, arr, main_leaf_words: int):
         return MerkleTree.bundle_to_branches(arr, main_leaf_words)
     if name == "lc_bundle" or name.startswith(("col_b", "row_b")):
         return MerkleTree.bundle_to_branches(arr, 8)
-    if name in ("col_roots", "base_words"):
+    if name in ("col_roots", "base_words") or name.startswith("tops_"):
         return [digest_words_to_bytes(r) for r in arr]
     return arr
 
 
 def _fetch_prepped(parts, su):
     """Concurrent per-section D2H + on-arrival decode. exp_r4par.json:
-    8-16 parallel gets stream the 557 kB payload in ~RTT + 5 ms vs
-    ~RTT + 14 ms for a single bulk buffer; decode hides in the wait."""
+    5-8 parallel gets stream the bundle payload at ~2.7x the
+    single-buffer rate on the tunneled runtime; decode hides in the
+    network wait. Output layout: one buffer per query bundle + ONE
+    packed buffer of all the small sections (_FusedSetup layout
+    comment); an older su without that layout maps sections 1:1."""
     for p in parts:
         try:
             p.copy_to_host_async()
         except Exception:
             pass
     mlw = getattr(su, "main_leaf_words", 24)
+    big = getattr(su, "big_sections", None)
 
-    def work(i):
-        name, shape = su.sections[i]
-        arr = np.ascontiguousarray(jax.device_get(parts[i])
+    if big is None:
+        def work(i):
+            name, shape = su.sections[i]
+            arr = np.ascontiguousarray(jax.device_get(parts[i])
+                                       ).reshape(shape)
+            return name, _prep_section(name, arr, mlw)
+
+        futs = [_fetch_pool().submit(work, i) for i in range(len(parts))]
+        return dict(f.result() for f in futs)
+
+    def work_big(k):
+        _, name, shape = big[k]
+        arr = np.ascontiguousarray(jax.device_get(parts[k])
                                    ).reshape(shape)
-        return name, _prep_section(name, arr, mlw)
+        return [(name, _prep_section(name, arr, mlw))]
 
-    futs = [_fetch_pool().submit(work, i) for i in range(len(parts))]
-    return dict(f.result() for f in futs)
+    def work_pack():
+        buf = np.ascontiguousarray(jax.device_get(parts[-1]))
+        out = []
+        for name, off, shape in su.small_layout:
+            size = 1
+            for d in shape:
+                size *= d
+            arr = buf[off:off + size].reshape(shape)
+            out.append((name, _prep_section(name, arr, mlw)))
+        return out
+
+    futs = [_fetch_pool().submit(work_big, k) for k in range(len(big))]
+    futs.append(_fetch_pool().submit(work_pack))
+    pre = {}
+    for f in futs:
+        pre.update(f.result())
+    return pre
 
 
 def _fetch_parts_np(parts):
@@ -1025,9 +1134,71 @@ def _fetch_parts_np(parts):
     return [f.result() for f in futs]
 
 
+def _complete_branches(branches, positions, tops, n_levels: int,
+                       t: int):
+    """Splice the pruned top-`t` sibling digests back onto each branch
+    (see fused.tree_bundle top_levels / fused.tree_tops). `tops` is the
+    tree's top-levels dump as a list of 32-byte digests, lowest pruned
+    level's block first; the sibling of position p at level `lvl` is
+    entry `(p >> lvl) ^ 1` of that level's block."""
+    if t <= 0:
+        return
+    offs = []
+    off = 0
+    for lvl in range(n_levels - t, n_levels):
+        offs.append(off)
+        off += 1 << (n_levels - lvl)
+    for b, p in zip(branches, positions):
+        for k, lvl in enumerate(range(n_levels - t, n_levels)):
+            b.append(tops[offs[k] + ((p >> lvl) ^ 1)])
+
+
+def _complete_pruned(pre, su):
+    """Host half of the pruned-bundle payload (round 4): replay the
+    Fiat-Shamir positions (byte-parity with the device derivation,
+    tests/test_transcript_dev.py) and splice each tree's top sibling
+    levels — shipped once per tree in the tops_* sections — back onto
+    the query branches. Proof objects are bit-identical to the
+    unpruned layout (tests/_fused_impl.py vs the oracle)."""
+    if not getattr(su, "t_main", 0):
+        return
+    cfg = su.config
+    precision, ext, logn = su.precision, su.ext, su.logn
+    positions = pseudorandom_indices(
+        pre["l_root"], precision, cfg.spot_checks,
+        exclude_multiples_of=ext)
+    aug = []
+    for p in positions:
+        aug += [p, (p + ext) % precision]
+    _complete_branches(pre["main_bundle"], aug, pre["tops_m"], logn,
+                       su.t_main)
+    _complete_branches(pre["lc_bundle"], positions, pre["tops_l"],
+                       logn, su.t_main)
+
+    row_tops = pre["tops_l"]
+    from .ops import fused as _fused
+    for r, (n_r, q_r) in enumerate(su.schedule):
+        lognr = n_r.bit_length() - 1
+        t_row = _fused.bundle_prune_depth(lognr, su.prune_T)
+        t_col = su.t_cols[r]
+        ys = pseudorandom_indices(pre["col_roots"][r], q_r,
+                                  cfg.fri_queries,
+                                  exclude_multiples_of=ext)
+        row_idx = [y + q_r * j for y in ys for j in range(4)]
+        _complete_branches(pre[f"row_b{r}"], row_idx, row_tops, lognr,
+                           t_row)
+        if t_col > 0:
+            _complete_branches(pre[f"col_b{r}"], ys,
+                               pre[f"tops_c{r}"], lognr - 2, t_col)
+            row_tops = pre[f"tops_c{r}"]
+        else:
+            row_tops = None
+
+
 def _assemble_prepped(pre, su):
     """Reference-shaped proof object (SURVEY §A.8) from prepped
     sections."""
+    _complete_pruned(pre, su)
     fri_proof = []
     for r, (n_r, q_r) in enumerate(su.schedule):
         root_bytes = pre["col_roots"][r]
@@ -1050,13 +1221,26 @@ def _assemble_prepped(pre, su):
 
 
 def _decode_fused(parts_np, su: _FusedSetup):
-    """Decode already-fetched per-section numpy arrays (batch path /
-    tests) into the reference-shaped proof object."""
+    """Decode already-fetched per-proof numpy arrays — in the core's
+    OUTPUT layout (bundle buffers + small pack; see _FusedSetup) — into
+    the reference-shaped proof object."""
     mlw = getattr(su, "main_leaf_words", 24)
+    big = getattr(su, "big_sections", None)
     pre = {}
-    for (name, shape), arr in zip(su.sections, parts_np):
-        pre[name] = _prep_section(name,
-                                  np.ascontiguousarray(arr).reshape(shape),
+    if big is None:
+        for (name, shape), arr in zip(su.sections, parts_np):
+            pre[name] = _prep_section(
+                name, np.ascontiguousarray(arr).reshape(shape), mlw)
+        return _assemble_prepped(pre, su)
+    for k, (_, name, shape) in enumerate(big):
+        pre[name] = _prep_section(
+            name, np.ascontiguousarray(parts_np[k]).reshape(shape), mlw)
+    buf = np.ascontiguousarray(parts_np[-1])
+    for name, off, shape in su.small_layout:
+        size = 1
+        for d in shape:
+            size *= d
+        pre[name] = _prep_section(name, buf[off:off + size].reshape(shape),
                                   mlw)
     return _assemble_prepped(pre, su)
 
