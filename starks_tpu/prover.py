@@ -526,20 +526,25 @@ class _FusedSetup:
         # extra fetch costs fixed per-RPC overhead on the tunnel and
         # spills the 16-thread fetch pool (exp_r4prune.json: 20 buffers
         # fetched no faster than the unpruned 16).
-        def _is_bundle(name):
-            return (name in ("main_bundle", "lc_bundle", "col_bundles",
+        def _is_big(name, shape):
+            if not (name in ("main_bundle", "lc_bundle", "col_bundles",
                              "row_bundles")
-                    or name.startswith(("col_b", "row_b")))
+                    or name.startswith(("col_b", "row_b"))):
+                return False
+            size = 4
+            for d in shape:
+                size *= d
+            return size >= 16384     # sub-16 kB bundles ride the pack
 
         self.big_sections = [(i, n, sh) for i, (n, sh)
                              in enumerate(self.sections)
-                             if _is_bundle(n)]
-        self.small_idx = [i for i, (n, _) in enumerate(self.sections)
-                          if not _is_bundle(n)]
+                             if _is_big(n, sh)]
+        self.small_idx = [i for i, (n, sh) in enumerate(self.sections)
+                          if not _is_big(n, sh)]
         self.small_layout = []          # (name, offset_words, shape)
         off = 0
         for n, sh in self.sections:
-            if not _is_bundle(n):
+            if not _is_big(n, sh):
                 size = 1
                 for d in sh:
                     size *= d
