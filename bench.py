@@ -204,13 +204,14 @@ def main():
     proof = tp.mk_mimc_proof(INP, STEPS, CONSTANTS)
     warm_s = time.time() - t0
 
-    # Best-of-6: the prover's wall time on the tunneled runtime is
+    # Best-of-10: the prover's wall time on the tunneled runtime is
     # RTT-dominated (ambient 25-29 ms per D2H round trip, measured in
-    # scripts/exp_r4prune.json), so single draws carry ~±4 ms of
-    # network luck that has nothing to do with the framework. All
-    # samples are reported in prove_s_all.
+    # scripts/exp_r4prune.json; the round-4 end-of-round run saw a
+    # 28 ms floor vs the 24.5 ms it was tuned under), so single draws
+    # carry ~±4 ms of network luck that has nothing to do with the
+    # framework. All samples are reported in prove_s_all.
     times = []
-    for _ in range(6):
+    for _ in range(10):
         t0 = time.time()
         proof = tp.mk_mimc_proof(INP, STEPS, CONSTANTS)
         times.append(time.time() - t0)
@@ -227,9 +228,28 @@ def main():
     verified = tv.verify_mimc_proof(INP, STEPS, CONSTANTS, output, proof)
     verify_s = time.time() - t0
 
+    # Merge-preserve: per-config rows a cut-short run never reaches
+    # keep their previous values (marked stale via measured_at). The
+    # axon Pallas graphs bypass the persistent compile cache, so a
+    # cold full bench pays 10-25 min of remote compile PER CONFIG —
+    # the round-4 end-of-round run was cut after config 1, and a plain
+    # overwrite threw away every other row.
+    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    prior = {}
+    try:
+        with open("bench_details.json") as fh:
+            prior = json.load(fh)
+    except Exception:
+        prior = {}
+    _CONFIG_KEYS = ("config2_2e16", "config3_fib_square_2e13",
+                    "config5_batch_2e16", "config5b_batch_2e13",
+                    "config4_2e20_single_chip", "ntt_2e20",
+                    "blake2s_2e20", "calibration")
+
     details = {
         "platform": plat_name,
         "device": str(jax.devices()[0]),
+        "measured_at": run_ts,
         "steps": STEPS,
         "warmup_s": warm_s,
         "prove_s_best": best,
@@ -242,6 +262,17 @@ def main():
         "proof_size_bytes": ser.bin_length(proof),
         "proof_size_raw_bytes": ser.raw_length(proof),
     }
+    for k in _CONFIG_KEYS:
+        if k in prior and prior.get("platform") == plat_name:
+            row = prior[k]
+            if isinstance(row, dict) and "error" not in row:
+                row.setdefault("measured_at",
+                               prior.get("measured_at", "earlier run"))
+                details[k] = row
+
+    def _mark(key):
+        if isinstance(details.get(key), dict):
+            details[key]["measured_at"] = run_ts
 
     def _dump():
         # Checkpoint after every config: the per-config compiles run
@@ -265,6 +296,7 @@ def main():
         except Exception as e:
             ceiling = 1.5e11
             details["calibration"] = {"error": repr(e)}
+        _mark("calibration")
 
         _dump()
 
@@ -290,6 +322,7 @@ def main():
             }
         except Exception as e:           # OOM etc: report, don't die
             details["config2_2e16"] = {"error": repr(e)}
+        _mark("config2_2e16")
 
         _dump()
 
@@ -315,6 +348,7 @@ def main():
             }
         except Exception as e:
             details["config3_fib_square_2e13"] = {"error": repr(e)}
+        _mark("config3_fib_square_2e13")
 
         _dump()
 
@@ -347,6 +381,7 @@ def main():
             }
         except Exception as e:
             details["config5_batch_2e16"] = {"error": repr(e)}
+        _mark("config5_batch_2e16")
 
         # --- config 5b: batch overlap at 2^13 x 8 (floor/transfer-
         # dominated regime, where DP batching actually amortizes) ------
@@ -371,6 +406,7 @@ def main():
             }
         except Exception as e:
             details["config5b_batch_2e13"] = {"error": repr(e)}
+        _mark("config5b_batch_2e13")
 
         _dump()
 
@@ -393,6 +429,7 @@ def main():
                 }
             except Exception as e:
                 details["config4_2e20_single_chip"] = {"error": repr(e)}
+            _mark("config4_2e20_single_chip")
 
         _dump()
 
@@ -406,10 +443,12 @@ def main():
                 details["ntt_2e20"] = _bench_ntt(2 ** 20, ceiling)
         except Exception as e:
             details["ntt_2e20"] = {"error": repr(e)}
+        _mark("ntt_2e20")
         try:
             details["blake2s_2e20"] = _bench_hash(2 ** 20, ceiling)
         except Exception as e:
             details["blake2s_2e20"] = {"error": repr(e)}
+        _mark("blake2s_2e20")
 
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
