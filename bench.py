@@ -256,7 +256,18 @@ def main():
         "prove_s_all": times,
         "stage_timings_s": dict(tp.LAST_PROOF_TIMINGS),
         "cpu_reference_prove_s": cpu_time,
+        # Disclosed denominator caveat: the pinned round-1 CPU
+        # reference (4.7457 s) was measured under builder-session CPU
+        # contention; the same oracle code on an idle host measures
+        # ~2.76 s (baseline_cpu.json `remeasured_idle`). The pin stays
+        # the official denominator for cross-round comparability; the
+        # idle-denominator headline is reported alongside.
+        "cpu_reference_remeasured_idle_s": cpu.get(
+            "remeasured_idle", {}).get("prove_2e13_s"),
         "speedup_vs_cpu": speedup,
+        "speedup_vs_idle_cpu": (cpu["remeasured_idle"]["prove_2e13_s"]
+                                / best
+                                if "remeasured_idle" in cpu else None),
         "verify_s": verify_s,
         "verified": bool(verified),
         "proof_size_bytes": ser.bin_length(proof),
