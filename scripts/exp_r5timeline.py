@@ -65,8 +65,11 @@ def main():
 
     out = {"rtt_ms": rtt_ms(), "sections": [], "iters": []}
     names = [n for n, _ in su.sections]
-    big = su.big_sections
-    labels = [big[k][1] for k in range(len(big))] + ["small_pack"]
+    big = getattr(su, "big_sections", None)
+    if big is not None:            # pre-round-4b per-section layout
+        labels = [big[k][1] for k in range(len(big))] + ["small_pack"]
+    else:                          # round-4b balanced-chunk layout
+        labels = [f"chunk{k}" for k in range(su.n_chunks)]
 
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(16)

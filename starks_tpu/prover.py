@@ -519,38 +519,31 @@ class _FusedSetup:
                 self.sections.append(
                     (f"tops_c{r}", (2 ** (t_col + 1) - 2, 8)))
 
-        # D2H output layout: each query BUNDLE is its own device buffer
-        # (5-7 buffers stream concurrently at ~2.7x the single-buffer
-        # rate, exp_r4par.json); everything small — roots, tops, final
-        # FRI values — is packed into ONE flat buffer, because every
-        # extra fetch costs fixed per-RPC overhead on the tunnel and
-        # spills the 16-thread fetch pool (exp_r4prune.json: 20 buffers
-        # fetched no faster than the unpruned 16).
-        def _is_big(name, shape):
-            if not (name in ("main_bundle", "lc_bundle", "col_bundles",
-                             "row_bundles")
-                    or name.startswith(("col_b", "row_b"))):
-                return False
-            size = 4
-            for d in shape:
-                size *= d
-            return size >= 16384     # sub-16 kB bundles ride the pack
-
-        self.big_sections = [(i, n, sh) for i, (n, sh)
-                             in enumerate(self.sections)
-                             if _is_big(n, sh)]
-        self.small_idx = [i for i, (n, sh) in enumerate(self.sections)
-                          if not _is_big(n, sh)]
-        self.small_layout = []          # (name, offset_words, shape)
+        # D2H output layout (round 4b): K EQUAL flat chunks of the
+        # whole section-ordered payload. The tunnel's PER-STREAM rate
+        # (~7-10 MB/s) — not its aggregate (~55 MB/s across 4-16
+        # streams, exp_r4par.json) — bounds the LAST arrival, so the
+        # earlier uneven per-section buffers left a straggler tail:
+        # exp_r5timeline.json shows the 94 kB small-pack landing
+        # 8-13 ms after the bundle buffers. Equal chunks collapse all
+        # arrivals onto floor + total_bytes/aggregate_BW; the host
+        # decodes each section as soon as the prefix of chunks
+        # covering it has landed (sections stay in emit order).
+        self.flat_layout = []           # (name, offset_words, shape)
         off = 0
         for n, sh in self.sections:
-            if not _is_big(n, sh):
-                size = 1
-                for d in sh:
-                    size *= d
-                self.small_layout.append((n, off, sh))
-                off += size
-        self.small_words = off
+            size = 1
+            for d in sh:
+                size *= d
+            self.flat_layout.append((n, off, sh))
+            off += size
+        self.flat_words = off
+        nbytes = 4 * off
+        # ~48 kB per stream saturates aggregate BW without spilling
+        # the 16-thread fetch pool (exp_r4prune.json).
+        self.n_chunks = max(4, min(16, (nbytes + 49151) // 49152))
+        cw = -(-off // self.n_chunks)
+        self.chunk_words = (cw + 31) & ~31   # deterministic pad edge
         self._core = None
 
     @classmethod
@@ -607,13 +600,17 @@ class _FusedSetup:
         n_final = self.n_final
 
         def emit(parts_list):
-            """Section-ordered arrays -> D2H output tuple: bundle
-            buffers individually + one packed flat buffer for all the
-            small sections (see the layout comment in __init__)."""
-            big = [parts_list[i] for i, _, _ in self.big_sections]
-            pack = jnp.concatenate(
-                [parts_list[i].reshape(-1) for i in self.small_idx])
-            return tuple(big) + (pack,)
+            """Section-ordered arrays -> D2H output tuple: K equal
+            flat chunks of the concatenated payload (see the layout
+            comment in __init__ — equal streams kill the straggler
+            tail on the per-stream-limited tunnel)."""
+            flat = jnp.concatenate(
+                [p.reshape(-1) for p in parts_list])
+            pad = self.n_chunks * self.chunk_words - flat.shape[0]
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,), flat.dtype)])
+            return tuple(jnp.split(flat, self.n_chunks))
 
         def post_trace_fn(trace, k_ext, zni8, h_pows, islope_l,
                           last_l, one_l, xs_big, tw_inv_small,
@@ -1076,21 +1073,23 @@ def _prep_section(name, arr, main_leaf_words: int):
 
 
 def _fetch_prepped(parts, su):
-    """Concurrent per-section D2H + on-arrival decode. exp_r4par.json:
-    5-8 parallel gets stream the bundle payload at ~2.7x the
-    single-buffer rate on the tunneled runtime; decode hides in the
-    network wait. Output layout: one buffer per query bundle + ONE
-    packed buffer of all the small sections (_FusedSetup layout
-    comment); an older su without that layout maps sections 1:1."""
+    """Concurrent D2H + on-arrival decode. Chunked layout
+    (_FusedSetup.flat_layout): K equal flat chunks stream in parallel
+    at the tunnel's aggregate rate with no straggler tail; the main
+    thread waits on the chunks IN ORDER (they all run concurrently,
+    so an in-order wait still sees out-of-order completions) and
+    decodes each section the moment the prefix covering it has
+    landed. An su without that layout (AIR setups) maps sections
+    1:1 to buffers."""
     for p in parts:
         try:
             p.copy_to_host_async()
         except Exception:
             pass
     mlw = getattr(su, "main_leaf_words", 24)
-    big = getattr(su, "big_sections", None)
+    fl = getattr(su, "flat_layout", None)
 
-    if big is None:
+    if fl is None:
         def work(i):
             name, shape = su.sections[i]
             arr = np.ascontiguousarray(jax.device_get(parts[i])
@@ -1100,28 +1099,29 @@ def _fetch_prepped(parts, su):
         futs = [_fetch_pool().submit(work, i) for i in range(len(parts))]
         return dict(f.result() for f in futs)
 
-    def work_big(k):
-        _, name, shape = big[k]
-        arr = np.ascontiguousarray(jax.device_get(parts[k])
-                                   ).reshape(shape)
-        return [(name, _prep_section(name, arr, mlw))]
+    K, cw = su.n_chunks, su.chunk_words
+    buf = np.empty(K * cw, np.uint32)
 
-    def work_pack():
-        buf = np.ascontiguousarray(jax.device_get(parts[-1]))
-        out = []
-        for name, off, shape in su.small_layout:
+    def work_chunk(k):
+        buf[k * cw:(k + 1) * cw] = np.asarray(
+            jax.device_get(parts[k])).reshape(-1)
+
+    futs = [_fetch_pool().submit(work_chunk, k) for k in range(K)]
+    pre = {}
+    sec_i = 0
+    for j, f in enumerate(futs):
+        f.result()                       # chunks 0..j now complete
+        done_w = (j + 1) * cw
+        while sec_i < len(fl):
+            name, off, shape = fl[sec_i]
             size = 1
             for d in shape:
                 size *= d
-            arr = buf[off:off + size].reshape(shape)
-            out.append((name, _prep_section(name, arr, mlw)))
-        return out
-
-    futs = [_fetch_pool().submit(work_big, k) for k in range(len(big))]
-    futs.append(_fetch_pool().submit(work_pack))
-    pre = {}
-    for f in futs:
-        pre.update(f.result())
+            if off + size > done_w:
+                break
+            pre[name] = _prep_section(
+                name, buf[off:off + size].reshape(shape), mlw)
+            sec_i += 1
     return pre
 
 
@@ -1230,18 +1230,16 @@ def _decode_fused(parts_np, su: _FusedSetup):
     OUTPUT layout (bundle buffers + small pack; see _FusedSetup) — into
     the reference-shaped proof object."""
     mlw = getattr(su, "main_leaf_words", 24)
-    big = getattr(su, "big_sections", None)
+    fl = getattr(su, "flat_layout", None)
     pre = {}
-    if big is None:
+    if fl is None:
         for (name, shape), arr in zip(su.sections, parts_np):
             pre[name] = _prep_section(
                 name, np.ascontiguousarray(arr).reshape(shape), mlw)
         return _assemble_prepped(pre, su)
-    for k, (_, name, shape) in enumerate(big):
-        pre[name] = _prep_section(
-            name, np.ascontiguousarray(parts_np[k]).reshape(shape), mlw)
-    buf = np.ascontiguousarray(parts_np[-1])
-    for name, off, shape in su.small_layout:
+    buf = np.concatenate(
+        [np.ascontiguousarray(p).reshape(-1) for p in parts_np])
+    for name, off, shape in fl:
         size = 1
         for d in shape:
             size *= d
