@@ -1103,8 +1103,11 @@ def _fetch_prepped(parts, su):
     buf = np.empty(K * cw, np.uint32)
 
     def work_chunk(k):
-        buf[k * cw:(k + 1) * cw] = np.asarray(
-            jax.device_get(parts[k])).reshape(-1)
+        got = np.asarray(jax.device_get(parts[k])).reshape(-1)
+        # Loud failure beats a silent implicit cast into the shared
+        # uint32 buffer if a future core emits a different dtype.
+        assert got.dtype == np.uint32, got.dtype
+        buf[k * cw:(k + 1) * cw] = got
 
     futs = [_fetch_pool().submit(work_chunk, k) for k in range(K)]
     pre = {}
@@ -1119,6 +1122,10 @@ def _fetch_prepped(parts, su):
                 size *= d
             if off + size > done_w:
                 break
+            # NB: scan-form sections ("col_bundles"/"row_bundles" and
+            # the default branch of _prep_section) are VIEWS into
+            # `buf`; safe only because buf is freshly allocated per
+            # call — never pool/reuse it.
             pre[name] = _prep_section(
                 name, buf[off:off + size].reshape(shape), mlw)
             sec_i += 1
@@ -1226,9 +1233,11 @@ def _assemble_prepped(pre, su):
 
 
 def _decode_fused(parts_np, su: _FusedSetup):
-    """Decode already-fetched per-proof numpy arrays — in the core's
-    OUTPUT layout (bundle buffers + small pack; see _FusedSetup) — into
-    the reference-shaped proof object."""
+    """Decode already-fetched per-proof numpy arrays into the
+    reference-shaped proof object. With a `flat_layout` setup the
+    arrays are the K equal flat uint32 chunks of the concatenated
+    section stream (see _FusedSetup.flat_layout) and are re-joined
+    here; without one (AIR setups) they map 1:1 to sections."""
     mlw = getattr(su, "main_leaf_words", 24)
     fl = getattr(su, "flat_layout", None)
     pre = {}
