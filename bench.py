@@ -81,6 +81,7 @@ _COLD_EST = {
     "config3_fib_square_2e13": 900.0,
     "config5_batch_2e16": 900.0,
     "config5b_batch_2e13": 300.0,
+    "config5c_batch_2e13x16": 120.0,   # same graph as 5b, no compile
     "config4_2e20_single_chip": 1500.0,
     "ntt_2e20": 300.0,
     "blake2s_2e20": 300.0,
@@ -191,8 +192,8 @@ def _load_json(path):
 
 _CONFIG_KEYS = ("config2_2e16", "config3_fib_square_2e13",
                 "config5_batch_2e16", "config5b_batch_2e13",
-                "config4_2e20_single_chip", "ntt_2e20",
-                "blake2s_2e20", "calibration")
+                "config5c_batch_2e13x16", "config4_2e20_single_chip",
+                "ntt_2e20", "blake2s_2e20", "calibration")
 
 
 def main():
@@ -515,16 +516,57 @@ def main():
                 tp.mk_mimc_proof_batch_fused(inps13, STEPS, CONSTANTS,
                                              chunk=4)
                 b13 = time.time() - t0
+                idle = cpu.get("remeasured_idle",
+                               {}).get("prove_2e13_s")
                 details["config5b_batch_2e13"] = {
                     "n_claims": 8,
                     "batch_wall_s": b13,
                     "proofs_per_s": 8 / b13,
+                    "per_proof_s": b13 / 8,
                     "serial_per_proof_s": ser13,
                     "speedup_vs_serial": ser13 * 8 / b13,
+                    "throughput_speedup_vs_pinned_cpu":
+                        cpu_time / (b13 / 8),
+                    "throughput_speedup_vs_idle_cpu":
+                        (idle / (b13 / 8)) if idle else None,
                 }
             except Exception as e:
                 details["config5b_batch_2e13"] = {"error": repr(e)}
             _mark("config5b_batch_2e13")
+            _dump()
+
+        # --- config 5c: steady-state batch throughput, 16 x 2^13 ------
+        # Same compiled graph as 5b (chunk=4) — the pipeline's fetch/
+        # decode overlap only reaches steady state past 2 chunks, so
+        # the 8-claim row understates throughput.
+        if _have_budget("config5c_batch_2e13x16"):
+            try:
+                inps16 = [3 + 2 * i for i in range(16)]
+                tp.mk_mimc_proof_batch_fused(inps16[:8], STEPS,
+                                             CONSTANTS, chunk=4)
+                t0 = time.time()
+                proofs5c = tp.mk_mimc_proof_batch_fused(
+                    inps16, STEPS, CONSTANTS, chunk=4)
+                b16 = time.time() - t0
+                idle = cpu.get("remeasured_idle",
+                               {}).get("prove_2e13_s")
+                details["config5c_batch_2e13x16"] = {
+                    "n_claims": 16,
+                    "batch_wall_s": b16,
+                    "proofs_per_s": 16 / b16,
+                    "per_proof_s": b16 / 16,
+                    "throughput_speedup_vs_pinned_cpu":
+                        cpu_time / (b16 / 16),
+                    "throughput_speedup_vs_idle_cpu":
+                        (idle / (b16 / 16)) if idle else None,
+                    "sample_verified": bool(tv.verify_mimc_proof(
+                        inps16[3], STEPS, CONSTANTS,
+                        mimc_forward(inps16[3], STEPS, CONSTANTS),
+                        proofs5c[3])),
+                }
+            except Exception as e:
+                details["config5c_batch_2e13x16"] = {"error": repr(e)}
+            _mark("config5c_batch_2e13x16")
             _dump()
 
         # --- config 4 (single-chip form): 2^20 steps ------------------

@@ -385,8 +385,17 @@ class _FusedAIRSetup:
         lw = 8 * self.leaf_cols
         q = pv.FRI_QUERIES
         s = pv.SPOT_CHECK_SECURITY_FACTOR
-        self.Wm = 2 * lw + 8 * (self.logn - 1)
-        self.Wl = 2 * 8 + 8 * (self.logn - 1)
+        # Round 5: AIR payload parity with the MiMC core — pruned
+        # branch bundles (tree top levels shipped once in tops_*
+        # sections, spliced back on host by prover._complete_pruned)
+        # and the balanced K-chunk flat D2H layout. Both cut the
+        # fib-square 2^13 payload ~40% and kill the straggler tail
+        # (prover.py round-4/4b comments for the full rationale).
+        self.config = pv.REFERENCE
+        self.prune_T = 7 if self.unrolled else 0
+        self.t_main = fused.bundle_prune_depth(self.logn, self.prune_T)
+        self.Wm = 2 * lw + 8 * (self.logn - 1 - self.t_main)
+        self.Wl = 2 * 8 + 8 * (self.logn - 1 - self.t_main)
         self.Wc = 2 * 8 + 8 * (self.logn - 3)
         self.sections = [
             ("m_root", (8,)),
@@ -395,11 +404,16 @@ class _FusedAIRSetup:
             ("lc_bundle", (s, self.Wl)),
             ("col_roots", (self.rounds, 8)),
         ]
+        self.t_cols = []
         if self.unrolled:
             for r, (n_r, q_r) in enumerate(self.schedule):
                 lognr = n_r.bit_length() - 1
-                wc = 2 * 8 + 8 * (lognr - 3)
-                wr = 2 * 8 + 8 * (lognr - 1)
+                t_row = fused.bundle_prune_depth(lognr, self.prune_T)
+                t_col = fused.bundle_prune_depth(lognr - 2,
+                                                 self.prune_T)
+                self.t_cols.append(t_col)
+                wc = 2 * 8 + 8 * (lognr - 3 - t_col)
+                wr = 2 * 8 + 8 * (lognr - 1 - t_row)
                 self.sections += [(f"col_b{r}", (q, wc)),
                                   (f"row_b{r}", (4 * q, wr))]
         else:
@@ -408,6 +422,30 @@ class _FusedAIRSetup:
                 ("row_bundles", (self.rounds, 4 * q, self.Wl)),
             ]
         self.sections.append(("base_words", (self.n_final, 8)))
+        if self.t_main > 0:
+            self.sections += [
+                ("tops_m", (2 ** (self.t_main + 1) - 2, 8)),
+                ("tops_l", (2 ** (self.t_main + 1) - 2, 8)),
+            ]
+        for r, t_col in enumerate(self.t_cols):
+            if t_col > 0:
+                self.sections.append(
+                    (f"tops_c{r}", (2 ** (t_col + 1) - 2, 8)))
+
+        # Balanced K-chunk flat D2H layout (see prover._FusedSetup).
+        self.flat_layout = []           # (name, offset_words, shape)
+        off = 0
+        for n, sh in self.sections:
+            size = 1
+            for d in sh:
+                size *= d
+            self.flat_layout.append((n, off, sh))
+            off += size
+        self.flat_words = off
+        nbytes = 4 * off
+        self.n_chunks = max(4, min(16, (nbytes + 49151) // 49152))
+        cw = -(-off // self.n_chunks)
+        self.chunk_words = (cw + 31) & ~31
         self._core = None
 
     @classmethod
@@ -444,6 +482,16 @@ class _FusedAIRSetup:
         schedule, n_final = self.schedule, self.n_final
         w, nc = self.w, self.nc
         b_regs = self.b_regs
+
+        def emit(parts_list):
+            """Section-ordered arrays -> K equal flat D2H chunks (the
+            prover's round-4b layout; see _FusedSetup comments)."""
+            flat = jnp.concatenate([p.reshape(-1) for p in parts_list])
+            pad = self.n_chunks * self.chunk_words - flat.shape[0]
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,), flat.dtype)])
+            return tuple(jnp.split(flat, self.n_chunks))
 
         def pallas_core_fn(trace_pk, ys_l):
             # Limb-major Pallas AIR core (round 4): per-register Pallas
@@ -521,23 +569,36 @@ class _FusedAIRSetup:
             aug = jnp.stack([positions, (positions + ext) % precision],
                             axis=1).reshape(-1)
             main_bundle = fused.tree_bundle(mleaf, m_lvl1, m_rest, aug,
-                                            logn)
+                                            logn,
+                                            top_levels=self.t_main)
             lc_bundle = fused.tree_bundle(l_words, l_lvl1, l_rest,
-                                          positions, logn)
+                                          positions, logn,
+                                          top_levels=self.t_main)
             main_bundle, lc_bundle = barrier((main_bundle, lc_bundle))
 
-            col_roots_l, col_bs, row_bs, final_t = \
-                fused.fri_commit_unrolled_pl(
-                    l, l_words, l_lvl1, l_rest, l_root,
-                    plan.fri_inv_pows, schedule, self.eta_l,
-                    self.inv4_l, pv.FRI_QUERIES, ext)
+            res = fused.fri_commit_unrolled_pl(
+                l, l_words, l_lvl1, l_rest, l_root,
+                plan.fri_inv_pows, schedule, self.eta_l,
+                self.inv4_l, pv.FRI_QUERIES, ext,
+                top_levels=self.prune_T)
+            if self.prune_T > 0:
+                col_roots_l, col_bs, row_bs, final_t, col_tops = res
+            else:
+                col_roots_l, col_bs, row_bs, final_t = res
+                col_tops = []
             col_roots = jnp.stack(col_roots_l)
             fri_parts = [x for pair in zip(col_bs, row_bs) for x in pair]
             base_words = jnp.transpose(fused.limbs_to_words_t(final_t))
+            tops_parts = []
+            if self.t_main > 0:
+                tops_parts = [
+                    fused.tree_tops(m_rest, logn, self.t_main),
+                    fused.tree_tops(l_rest, logn, self.t_main),
+                ] + col_tops
 
             parts = ([m_root, l_root, main_bundle, lc_bundle, col_roots]
-                     + fri_parts + [base_words])
-            return tuple(parts)
+                     + fri_parts + [base_words] + tops_parts)
+            return emit(parts)
 
         def core_fn(trace_pk, ys_l):
             barrier = jax.lax.optimization_barrier
@@ -615,7 +676,7 @@ class _FusedAIRSetup:
 
             parts = [m_root, l_root, main_bundle, lc_bundle, col_roots,
                      col_bundles, row_bundles, base_words]
-            return tuple(parts)
+            return emit(parts)
 
         self._core_fn = pallas_core_fn if self.pallas else core_fn
         self._core = jax.jit(self._core_fn)

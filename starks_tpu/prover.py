@@ -1034,13 +1034,32 @@ def mk_mimc_proof_batch_fused(inps, steps: int, round_constants,
     chunks = [(lo, inps[lo:lo + chunk])
               for lo in range(0, len(inps), chunk)]
     proofs = []
-    in_flight = dispatch(chunks[0]) if chunks else None
-    for ci in range(len(chunks)):
-        nxt = dispatch(chunks[ci + 1]) if ci + 1 < len(chunks) else None
-        parts_np = _fetch_parts_np(in_flight)  # concurrent D2H per chunk
-        for b in range(len(chunks[ci][1])):
-            proofs.append(_decode_fused([p[b] for p in parts_np], su))
-        in_flight = nxt
+    if not chunks:
+        return proofs
+    # Pipeline (round 5, from scripts/exp_batch_profile.json): fetch is
+    # the dominant per-chunk cost (60-94 ms vs 26 ms decode at
+    # chunk=4/2^13), so keep up to TWO chunk-fetches in flight on a
+    # side executor — chunk i+1's transfer floor and streaming overlap
+    # both chunk i's fetch tail and its host decode, and the device
+    # queue keeps computing ahead. The fetch threads only call
+    # _fetch_parts_np (which fans out to _fetch_pool); decode stays on
+    # the main thread in claim order.
+    import concurrent.futures as cf
+    fx = cf.ThreadPoolExecutor(2)
+    try:
+        from collections import deque
+        futs = deque()
+        futs.append(fx.submit(_fetch_parts_np, dispatch(chunks[0])))
+        for ci in range(len(chunks)):
+            if ci + 1 < len(chunks):
+                futs.append(fx.submit(_fetch_parts_np,
+                                      dispatch(chunks[ci + 1])))
+            parts_np = futs.popleft().result()
+            for b in range(len(chunks[ci][1])):
+                proofs.append(_decode_fused([p[b] for p in parts_np],
+                                            su))
+    finally:
+        fx.shutdown(wait=True)
     return proofs
 
 
